@@ -1,0 +1,202 @@
+"""Ray-primitive intersection kernels.
+
+TPU-native redesign of reference shapes/triangle.cu:213-323 (watertight
+test) and shapes/sphere.cu: instead of one thread chasing one ray through
+a BVH, these kernels evaluate **dense (ray x primitive) tiles** on the VPU —
+every op is a fused elementwise op over a (R, T) block, which is how a TPU
+wants to intersect rays. The BVH layer (pbrt_tpu.accel) decides which tiles
+to evaluate.
+
+All functions broadcast: rays (..., 3) against triangles (T, 3) produce
+(..., T) candidate hits which are min-reduced here.
+"""
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from pbrt_tpu.utils.math import INFINITY, gamma, safe_sqrt
+from pbrt_tpu.geometry import vecmath as vm
+
+
+class TriangleSoA(NamedTuple):
+    """Flat triangle soup: world-space vertex positions per corner (T, 3)
+    (counterpart of reference TriangleMesh SoA, shapes/triangle_mesh.h:9-32)."""
+
+    p0: jnp.ndarray
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+
+
+class TriHit(NamedTuple):
+    t: jnp.ndarray        # (...,) hit distance (INFINITY if miss)
+    prim: jnp.ndarray     # (...,) int32 triangle index (-1 if miss)
+    b: jnp.ndarray        # (..., 3) barycentrics
+
+
+def _max_dim(v):
+    return jnp.argmax(jnp.abs(v), axis=-1)
+
+
+def intersect_tri_block(o, d, t_max, p0, p1, p2):
+    """Watertight ray/triangle test over a full (R, T) block.
+
+    o, d: (R, 3); t_max: (R,); p0/p1/p2: (T, 3).
+    Returns (t (R, T), b (R, T, 3), hit (R, T)).
+
+    Same math as reference triangle.cu:213-323 (shear-transform +
+    edge functions + conservative t bounds), minus the double-precision
+    edge fallback (fp64 is not a TPU-native type; the shear form is already
+    watertight along shared edges in fp32 for equal vertices).
+    """
+    # Permute so |d_z| is the largest component (per-ray).
+    kz = _max_dim(d)  # (R,)
+    kx = (kz + 1) % 3
+    ky = (kx + 1) % 3
+
+    dp = jnp.take_along_axis(d, jnp.stack([kx, ky, kz], axis=-1), axis=-1)  # (R, 3)
+    dz_safe = jnp.where(dp[..., 2] == 0.0, 1e-30, dp[..., 2])
+    sx = -dp[..., 0] / dz_safe
+    sy = -dp[..., 1] / dz_safe
+    sz = 1.0 / dz_safe  # (R,)
+
+    # Translate + permute triangle vertices: (R, T, 3)
+    def prep(pv):
+        rel = pv[None, :, :] - o[:, None, :]  # (R, T, 3)
+        idx = jnp.stack([kx, ky, kz], axis=-1)[:, None, :]  # (R,1,3)
+        idx = jnp.broadcast_to(idx, rel.shape)
+        return jnp.take_along_axis(rel, idx, axis=-1)
+
+    a = prep(p0)
+    b = prep(p1)
+    c = prep(p2)
+
+    # Shear x/y
+    ax = a[..., 0] + sx[:, None] * a[..., 2]
+    ay = a[..., 1] + sy[:, None] * a[..., 2]
+    bx = b[..., 0] + sx[:, None] * b[..., 2]
+    by = b[..., 1] + sy[:, None] * b[..., 2]
+    cx = c[..., 0] + sx[:, None] * c[..., 2]
+    cy = c[..., 1] + sy[:, None] * c[..., 2]
+
+    e0 = cx * by - cy * bx
+    e1 = ax * cy - ay * cx
+    e2 = bx * ay - by * ax
+
+    hit = ~(((e0 < 0) | (e1 < 0) | (e2 < 0)) & ((e0 > 0) | (e1 > 0) | (e2 > 0)))
+    det = e0 + e1 + e2
+    hit &= det != 0.0
+
+    az = sz[:, None] * a[..., 2]
+    bz = sz[:, None] * b[..., 2]
+    cz = sz[:, None] * c[..., 2]
+    t_scaled = e0 * az + e1 * bz + e2 * cz
+    neg_det = det < 0
+    hit &= jnp.where(
+        neg_det,
+        (t_scaled < 0) & (t_scaled > t_max[:, None] * det),
+        (t_scaled > 0) & (t_scaled < t_max[:, None] * det),
+    )
+
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    t = t_scaled * inv_det
+    b0 = e0 * inv_det
+    b1 = e1 * inv_det
+    b2 = e2 * inv_det
+
+    # Conservative t error bound (reference triangle.cu:299-320)
+    max_z = jnp.maximum(jnp.maximum(jnp.abs(az), jnp.abs(bz)), jnp.abs(cz))
+    max_x = jnp.maximum(jnp.maximum(jnp.abs(ax), jnp.abs(bx)), jnp.abs(cx))
+    max_y = jnp.maximum(jnp.maximum(jnp.abs(ay), jnp.abs(by)), jnp.abs(cy))
+    max_e = jnp.maximum(jnp.maximum(jnp.abs(e0), jnp.abs(e1)), jnp.abs(e2))
+    delta_z = gamma(3) * max_z
+    delta_x = gamma(5) * (max_x + max_z)
+    delta_y = gamma(5) * (max_y + max_z)
+    delta_e = 2 * (gamma(2) * max_x * max_y + delta_y * max_x + delta_x * max_y)
+    delta_t = 3 * (
+        gamma(3) * max_e * max_z + delta_e * max_z + delta_z * max_e
+    ) * jnp.abs(inv_det)
+    hit &= t > delta_t
+
+    bary = jnp.stack([b0, b1, b2], axis=-1)
+    return t, bary, hit
+
+
+def intersect_tris_dense(o, d, t_max, tris: TriangleSoA) -> TriHit:
+    """Closest hit against ALL triangles — one dense block reduce.
+
+    o, d: (R, 3); t_max: (R,). This is the whole-scene intersector for
+    small scenes and the per-leaf-cluster kernel for BVH scenes.
+    """
+    t, bary, hit = intersect_tri_block(o, d, t_max, tris.p0, tris.p1, tris.p2)
+    t = jnp.where(hit, t, INFINITY)
+    best = jnp.argmin(t, axis=-1)  # (R,)
+    r = jnp.arange(o.shape[0])
+    t_best = t[r, best]
+    found = t_best < INFINITY
+    return TriHit(
+        t=t_best,
+        prim=jnp.where(found, best.astype(jnp.int32), -1),
+        b=bary[r, best],
+    )
+
+
+def occluded_tris_dense(o, d, t_max, tris: TriangleSoA):
+    """Any-hit shadow query: True where some triangle blocks (R,)."""
+    _, _, hit = intersect_tri_block(o, d, t_max, tris.p0, tris.p1, tris.p2)
+    return jnp.any(hit, axis=-1)
+
+
+# ----------------------------------------------------------------- spheres
+
+
+class SphereSoA(NamedTuple):
+    """Spheres: center (S, 3), radius (S,). Full spheres only for now
+    (reference sphere.h supports z_min/z_max clipping — unused by the
+    bundled scenes)."""
+
+    center: jnp.ndarray
+    radius: jnp.ndarray
+
+
+def intersect_spheres_dense(o, d, t_max, spheres: SphereSoA):
+    """Closest hit against all spheres. Returns (t (R,), idx (R,), p (R,3),
+    n (R,3)) with idx == -1 on miss.
+
+    Stable quadratic (Press et al. / reference sphere.cu interval version's
+    fp32 counterpart) + hit-point reprojection onto the sphere.
+    """
+    oc = o[:, None, :] - spheres.center[None, :, :]  # (R, S, 3)
+    dd = d[:, None, :]
+    a = jnp.sum(dd * dd, axis=-1)
+    b = 2.0 * jnp.sum(oc * dd, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - (spheres.radius**2)[None, :]
+    disc = b * b - 4 * a * c
+    ok = disc >= 0.0
+    sq = safe_sqrt(disc)
+    q = -0.5 * (b + jnp.where(b < 0, -sq, sq))
+    a_safe = jnp.where(a == 0.0, 1.0, a)
+    t0 = q / a_safe
+    t1 = c / jnp.where(q == 0.0, 1.0, q)
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    eps = 1e-3  # min-t epsilon in units of scene scale; callers offset origins
+    t = jnp.where(tn > eps, tn, tf)
+    ok &= (t > eps) & (t < t_max[:, None])
+    t = jnp.where(ok, t, INFINITY)
+    best = jnp.argmin(t, axis=-1)
+    r = jnp.arange(o.shape[0])
+    t_best = t[r, best]
+    found = t_best < INFINITY
+    center = spheres.center[best]
+    radius = spheres.radius[best]
+    p = o + t_best[:, None] * d
+    # reproject for robustness (reference sphere.cu refinement)
+    rel = p - center
+    p = center + rel * (radius / jnp.maximum(vm.length(rel), 1e-30))[:, None]
+    n = vm.normalize(p - center)
+    return (
+        jnp.where(found, t_best, INFINITY),
+        jnp.where(found, best.astype(jnp.int32), -1),
+        p,
+        n,
+    )

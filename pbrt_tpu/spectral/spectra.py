@@ -1,0 +1,99 @@
+"""Spectrum representations.
+
+TPU-native redesign of the reference's 7-way tagged-union Spectrum
+(reference base/spectrum.h:24-123): instead of runtime polymorphism, the
+scene compiler **type-erases every non-RGB spectrum into a dense 1nm table**
+(shape (471,)) at build time — blackbody, constant, piecewise-linear and
+densely-sampled spectra all become rows of one `(n_spectra, 471)` float32
+array. Device evaluation is then a single gather, identical for all of them.
+
+RGB-fitted spectra (albedo/unbounded/illuminant) stay parametric on device:
+3 sigmoid-polynomial coefficients per texel (see rgb2spec.py), since baking
+them dense per-texel would blow up memory.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu.spectral import cie
+
+
+# ----------------------------------------------------------------- host build
+
+
+def constant(c):
+    return np.full(cie.LAMBDA_RANGE, float(c), dtype=np.float64)
+
+
+def blackbody_radiance(lam_nm, T):
+    """Planck's law, W/(m^2 sr m) (reference spectra/black_body_spectrum.h)."""
+    lam = np.asarray(lam_nm, dtype=np.float64) * 1e-9
+    c = 299792458.0
+    h = 6.62606957e-34
+    kb = 1.3806488e-23
+    return (2.0 * h * c * c) / (lam**5 * (np.exp((h * c) / (lam * kb * T)) - 1.0))
+
+
+def blackbody(T):
+    """Normalized blackbody: peak value is 1 (reference BlackBodySpectrum:
+    normalization_factor = 1 / planck(lambda_max(T))). Dense (471,)."""
+    lambda_max_nm = 2.8977721e-3 / T * 1e9  # Wien displacement
+    norm = 1.0 / blackbody_radiance(lambda_max_nm, T)
+    return blackbody_radiance(cie.lambdas(), T) * norm
+
+
+def from_interleaved(samples, normalize):
+    """Piecewise-linear from interleaved [λ0, v0, λ1, v1, ...] with optional
+    photometric normalization (reference base/spectrum.cu:101,
+    piecewise_linear_spectrum.cu:6-39). Dense (471,)."""
+    samples = np.asarray(samples, dtype=np.float64)
+    dense = cie.dense_from_interleaved(samples[0::2], samples[1::2])
+    if normalize:
+        dense = dense * (cie.CIE_Y_INTEGRAL / cie.inner_product(dense, cie.Y()))
+    return dense
+
+
+# --------------------------------------------------------------- device eval
+
+
+def sample_dense(values, lam):
+    """Sample a dense 1nm spectrum at wavelengths λ.
+
+    values: (471,) or (..., 471); lam: (..., N). Nearest-neighbour lookup to
+    match the reference DenselySampledSpectrum (round to the 1nm bin).
+    """
+    idx = jnp.clip(
+        jnp.round(lam).astype(jnp.int32) - cie.LAMBDA_MIN, 0, cie.LAMBDA_RANGE - 1
+    )
+    values = jnp.asarray(values)
+    if values.ndim == 1:
+        return values[idx]
+    return jnp.take_along_axis(values, idx, axis=-1)
+
+
+def sample_table(table, spec_idx, lam):
+    """Sample row `spec_idx` of a `(n_spectra, 471)` table at λ.
+
+    spec_idx: (...) int32; lam: (..., N) -> (..., N).
+    """
+    bin_idx = jnp.clip(
+        jnp.round(lam).astype(jnp.int32) - cie.LAMBDA_MIN, 0, cie.LAMBDA_RANGE - 1
+    )
+    return table[spec_idx[..., None], bin_idx]
+
+
+def sigmoid(x):
+    """Jakob–Hanika sigmoid (reference rgb_to_spectrum_data.cu:24-26),
+    with the ±inf -> 0/1 limits of rgb_sigmoid_polynomial.h."""
+    s = 0.5 * x / jnp.sqrt(1.0 + x * x) + 0.5
+    return jnp.where(jnp.isposinf(x), 1.0, jnp.where(jnp.isneginf(x), 0.0, s))
+
+
+def sigmoid_polynomial(c, lam):
+    """Evaluate sigmoid(c0·λ² + c1·λ + c2) at λ.
+
+    c: (..., 3) coefficients in *wavelength space* (the table stores them
+    pre-substituted, reference rgb_to_spectrum_data.cu:319-327);
+    lam: (..., N) -> (..., N).
+    """
+    x = (c[..., 0:1] * lam + c[..., 1:2]) * lam + c[..., 2:3]
+    return sigmoid(x)
