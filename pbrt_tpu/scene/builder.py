@@ -1,0 +1,693 @@
+"""SceneBuilder: .pbrt token stream -> host-side scene description.
+
+Counterpart of reference scene/scene_builder.cu (1,290 LoC): the graphics-
+state machine (CTM stack, current material/area-light/medium), directive
+dispatch, and object factories. Unlike the reference (which placement-news
+polymorphic device objects), this builder produces plain python/numpy specs;
+`pbrt_tpu.scene.compile_scene` flattens them into the `SceneArrays` pytree
+the jitted renderer consumes.
+
+Directive coverage mirrors scene_builder.cu:287-469.
+"""
+import copy
+import os
+import functools
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from pbrt_tpu.scene import lexer as lx
+from pbrt_tpu.scene.params import ParameterDict, parse_parameters
+from pbrt_tpu.geometry import transform as tf
+from pbrt_tpu.spectral import cie, spectra
+
+# material type codes (device dispatch)
+MAT_INTERFACE = -1
+MAT_DIFFUSE = 0
+MAT_CONDUCTOR = 1
+MAT_DIELECTRIC = 2
+MAT_DIFFUSE_TRANSMISSION = 3
+MAT_COATED_DIFFUSE = 4
+MAT_COATED_CONDUCTOR = 5
+MAT_MIX = 6
+
+LIGHT_AREA = 0
+LIGHT_DISTANT = 1
+LIGHT_UNIFORM_INFINITE = 2
+LIGHT_IMAGE_INFINITE = 3
+LIGHT_SPOT = 4
+
+
+@functools.lru_cache(None)
+def named_spectra():
+    """Built-in named spectra (reference scene_builder.cu:100-136):
+    metal eta/k and glass eta as dense rows, unnormalized piecewise-linear."""
+    import pathlib
+
+    data = pathlib.Path(__file__).resolve().parent.parent / "data"
+    out = {}
+    metal = np.load(data / "metal.npz")
+    for m in ["Ag", "Al", "Au", "Cu"]:
+        out[f"metal-{m}-eta"] = spectra.from_interleaved(metal[f"{m}_eta"], False)
+        out[f"metal-{m}-k"] = spectra.from_interleaved(metal[f"{m}_k"], False)
+    glass = np.load(data / "glass.npz")
+    out["glass-BK7"] = spectra.from_interleaved(glass["GlassBK7_eta"], False)
+    out["glass-SF11"] = spectra.from_interleaved(glass["GlassSF11_eta"], False)
+    return out
+
+
+@dataclass
+class MaterialSpec:
+    type: int
+    # rgb-based reflectance kept as rgb (differentiable via rgb2spec lookup
+    # at compile/jit time)
+    reflectance_rgb: Optional[np.ndarray] = None
+    reflectance_tex: Optional[int] = None   # spectrum texture index
+    eta_spec: int = -1                      # dense spectrum row
+    k_spec: int = -1
+    eta_float: float = 1.5
+    eta_is_constant: bool = True
+    uroughness: float = 0.0
+    vroughness: float = 0.0
+    remap_roughness: bool = True
+    # coated / transmission extras
+    thickness: float = 0.01
+    g: float = 0.0
+    albedo_rgb: Optional[np.ndarray] = None
+    max_depth: int = 10
+    n_samples: int = 1
+    interface_eta: float = 1.5
+    # diffuse transmission
+    transmittance_rgb: Optional[np.ndarray] = None
+    # mix
+    mix_m1: int = -1
+    mix_m2: int = -1
+    mix_amount: float = 0.5
+    conductor_eta_spec: int = -1
+    conductor_k_spec: int = -1
+
+
+@dataclass
+class AreaLightSpec:
+    emission_dense: np.ndarray  # (471,) scale/photometric already applied EXCEPT user scale
+    scale: float
+    two_sided: bool
+
+
+@dataclass
+class LightSpec:
+    type: int
+    emission_dense: np.ndarray
+    scale: float
+    two_sided: bool = False
+    tri_index: int = -1
+    sphere_index: int = -1
+    # distant / spot
+    direction: Optional[np.ndarray] = None
+    position: Optional[np.ndarray] = None
+    cos_falloff_start: float = 0.0
+    cos_falloff_end: float = 0.0
+    # image infinite
+    image: Optional[np.ndarray] = None
+    light_from_render: Optional[np.ndarray] = None
+    render_from_light: Optional[np.ndarray] = None
+
+
+@dataclass
+class GraphicsState:
+    ctm: np.ndarray = field(default_factory=tf.identity)
+    material_idx: int = 0
+    area_light: Optional[AreaLightSpec] = None
+    reverse_orientation: bool = False
+    inside_medium: int = -1
+    outside_medium: int = -1
+
+
+def _swaps_handedness(m):
+    return np.linalg.det(np.asarray(m)[:3, :3]) < 0
+
+
+class SceneBuilder:
+    def __init__(self):
+        self.state = GraphicsState()
+        self.stack = []
+        self.in_world = False
+
+        # outputs
+        self.materials = [MaterialSpec(type=MAT_DIFFUSE, reflectance_rgb=np.array([0.5, 0.5, 0.5]))]
+        self.named_materials = {}
+        self.spectra_rows = []  # list of (471,) float64
+        self._spectra_index = {}
+        self.tri_p = []      # (n,3,3) per mesh flattened later
+        self.tri_n = []
+        self.tri_uv = []
+        self.tri_mat = []
+        self.tri_light = []
+        self.tri_rev = []
+        self.spheres = []    # dict(center, radius, mat, light, rev)
+        self.lights = []     # LightSpec
+        self.float_textures = {}
+        self.spectrum_textures = {}
+
+        # configs (reference defaults, SURVEY.md §8 'Observed runtime defaults')
+        self.film = {"xresolution": 1920, "yresolution": 1080, "filename": "out.png"}
+        self.camera = {"type": "perspective", "fov": 90.0, "camera_from_world": tf.identity()}
+        self.sampler = {"type": "stratified", "pixelsamples": 4}
+        self.integrator = {"type": "path", "maxdepth": 5}
+        self.filter = {"type": "mitchell"}
+        self._camera_tokens_params = ParameterDict()
+
+    # ------------------------------------------------------------- spectra
+
+    def add_spectrum_row(self, dense, key=None):
+        if key is not None and key in self._spectra_index:
+            return self._spectra_index[key]
+        idx = len(self.spectra_rows)
+        self.spectra_rows.append(np.asarray(dense, dtype=np.float64))
+        if key is not None:
+            self._spectra_index[key] = idx
+        return idx
+
+    def resolve_spectrum(self, pd: ParameterDict, name):
+        """Resolve a 'spectrum'-typed parameter to a dense row index, or None.
+
+        (reference parameter_dictionary get_spectrum for non-rgb cases)."""
+        raw = pd.get_spectrum_raw(name)
+        if raw is None:
+            if name in pd and pd.type_of(name) == "blackbody":
+                T = pd.get_blackbody(name)
+                return self.add_spectrum_row(spectra.blackbody(T), key=("bb", T))
+            return None
+        kind, val = raw
+        if kind == "named":
+            reg = named_spectra()
+            if val not in reg:
+                raise ValueError(f"unknown named spectrum {val!r}")
+            return self.add_spectrum_row(reg[val], key=("named", val))
+        return self.add_spectrum_row(spectra.from_interleaved(val, False))
+
+    def illuminant_dense(self, pd: ParameterDict, name):
+        """Resolve an Illuminant-type spectrum parameter ('L' etc.) to a dense
+        emission row (reference SpectrumType::Illuminant resolution) and its
+        photometric norm <s, Y>.
+
+        RGB case: scale=2*max(rgb), sigmoid-fit rgb/scale, multiplied by the
+        color space illuminant; to_photometric uses the ILLUMINANT's <D65n,Y>
+        (reference rgb_illuminant_spectrum.cu:27-28)."""
+        rgb = pd.get_rgb(name)
+        if rgb is not None:
+            from pbrt_tpu.spectral import rgb2spec
+            import jax.numpy as jnp
+
+            s = 2.0 * float(np.max(rgb))
+            if s == 0.0:
+                dense = np.zeros(cie.LAMBDA_RANGE)
+                return dense, cie.CIE_Y_INTEGRAL
+            c = np.asarray(
+                rgb2spec.rgb_to_coefficients(jnp.asarray(rgb / s, dtype=jnp.float32))
+            ).astype(np.float64)
+            lam = cie.lambdas()
+            x = (c[0] * lam + c[1]) * lam + c[2]
+            sig = 0.5 * x / np.sqrt(1.0 + x * x) + 0.5
+            dense = s * sig * cie.illum_d65()
+            return dense, cie.inner_product(cie.illum_d65(), cie.Y())
+        spec_idx = self.resolve_spectrum(pd, name)
+        if spec_idx is not None:
+            dense = self.spectra_rows[spec_idx]
+            return dense, cie.inner_product(dense, cie.Y())
+        # default: color space illuminant (reference diffuse_area_light.cu:21-23)
+        dense = cie.illum_d65()
+        return dense, cie.inner_product(dense, cie.Y())
+
+    # ------------------------------------------------------------ materials
+
+    def make_material(self, mtype: str, pd: ParameterDict) -> int:
+        """Create a MaterialSpec (reference base/material.cu:34-76 factory +
+        per-material ctors) and return its index."""
+        if mtype in ("", "interface", "none"):
+            return -1
+        spec = None
+        if mtype == "diffuse":
+            rgb = pd.get_rgb("reflectance", np.array([0.5, 0.5, 0.5]))
+            spec = MaterialSpec(type=MAT_DIFFUSE, reflectance_rgb=np.asarray(rgb))
+        elif mtype == "conductor":
+            eta_idx = self.resolve_spectrum(pd, "eta")
+            k_idx = self.resolve_spectrum(pd, "k")
+            refl = pd.get_rgb("reflectance")
+            if refl is None and eta_idx is None:
+                reg = named_spectra()
+                eta_idx = self.add_spectrum_row(reg["metal-Cu-eta"], key=("named", "metal-Cu-eta"))
+            if refl is None and k_idx is None:
+                reg = named_spectra()
+                k_idx = self.add_spectrum_row(reg["metal-Cu-k"], key=("named", "metal-Cu-k"))
+            rough = pd.get_float("roughness", 0.0)
+            spec = MaterialSpec(
+                type=MAT_CONDUCTOR,
+                reflectance_rgb=None if refl is None else np.asarray(refl),
+                eta_spec=-1 if eta_idx is None else eta_idx,
+                k_spec=-1 if k_idx is None else k_idx,
+                uroughness=pd.get_float("uroughness", rough),
+                vroughness=pd.get_float("vroughness", rough),
+                remap_roughness=pd.get_bool("remaproughness", True),
+            )
+        elif mtype == "dielectric":
+            eta_f = pd.get_float("eta", None)
+            eta_idx = None
+            if eta_f is None:
+                eta_idx = self.resolve_spectrum(pd, "eta")
+            rough = pd.get_float("roughness", 0.0)
+            spec = MaterialSpec(
+                type=MAT_DIELECTRIC,
+                eta_float=1.5 if eta_f is None else float(eta_f),
+                eta_spec=-1 if eta_idx is None else eta_idx,
+                eta_is_constant=eta_idx is None,
+                uroughness=pd.get_float("uroughness", rough),
+                vroughness=pd.get_float("vroughness", rough),
+                remap_roughness=pd.get_bool("remaproughness", True),
+            )
+        elif mtype == "diffusetransmission":
+            spec = MaterialSpec(
+                type=MAT_DIFFUSE_TRANSMISSION,
+                reflectance_rgb=np.asarray(pd.get_rgb("reflectance", np.array([0.25, 0.25, 0.25]))),
+                transmittance_rgb=np.asarray(
+                    pd.get_rgb("transmittance", np.array([0.25, 0.25, 0.25]))
+                ),
+            )
+        elif mtype == "coateddiffuse":
+            rough = pd.get_float("roughness", 0.0)
+            spec = MaterialSpec(
+                type=MAT_COATED_DIFFUSE,
+                reflectance_rgb=np.asarray(pd.get_rgb("reflectance", np.array([0.5, 0.5, 0.5]))),
+                uroughness=pd.get_float("uroughness", rough),
+                vroughness=pd.get_float("vroughness", rough),
+                remap_roughness=pd.get_bool("remaproughness", True),
+                thickness=pd.get_float("thickness", 0.01),
+                interface_eta=pd.get_float("eta", 1.5),
+                g=pd.get_float("g", 0.0),
+                albedo_rgb=np.asarray(pd.get_rgb("albedo", np.array([0.0, 0.0, 0.0]))),
+                max_depth=pd.get_integer("maxdepth", 10),
+                n_samples=pd.get_integer("nsamples", 1),
+            )
+        elif mtype == "coatedconductor":
+            irough = pd.get_float("interface.roughness", 0.0)
+            crough = pd.get_float("conductor.roughness", 0.0)
+            ceta = self.resolve_spectrum(pd, "conductor.eta")
+            ck = self.resolve_spectrum(pd, "conductor.k")
+            reg = named_spectra()
+            if ceta is None:
+                ceta = self.add_spectrum_row(reg["metal-Cu-eta"], key=("named", "metal-Cu-eta"))
+            if ck is None:
+                ck = self.add_spectrum_row(reg["metal-Cu-k"], key=("named", "metal-Cu-k"))
+            spec = MaterialSpec(
+                type=MAT_COATED_CONDUCTOR,
+                uroughness=pd.get_float("interface.uroughness", irough),
+                vroughness=pd.get_float("interface.vroughness", irough),
+                remap_roughness=pd.get_bool("remaproughness", True),
+                thickness=pd.get_float("thickness", 0.01),
+                interface_eta=pd.get_float("interface.eta", 1.5),
+                g=pd.get_float("g", 0.0),
+                albedo_rgb=np.asarray(pd.get_rgb("albedo", np.array([0.0, 0.0, 0.0]))),
+                max_depth=pd.get_integer("maxdepth", 10),
+                n_samples=pd.get_integer("nsamples", 1),
+                conductor_eta_spec=ceta,
+                conductor_k_spec=ck,
+                mix_amount=crough,  # conductor roughness reuses slot
+            )
+        elif mtype == "mix":
+            names = pd._get("materials", {"string"}, None)
+            if names is None or len(names) != 2:
+                raise ValueError("mix material needs 2 named materials")
+            m1 = self.named_materials[names[0]]
+            m2 = self.named_materials[names[1]]
+            spec = MaterialSpec(
+                type=MAT_MIX,
+                mix_m1=m1,
+                mix_m2=m2,
+                mix_amount=pd.get_float("amount", 0.5),
+            )
+        else:
+            raise ValueError(f"material type {mtype!r} not implemented")
+        self.materials.append(spec)
+        return len(self.materials) - 1
+
+    # -------------------------------------------------------------- shapes
+
+    def add_triangle_mesh(self, pd: ParameterDict):
+        """reference shapes/triangle_mesh.cu + base/shape.cu trianglemesh."""
+        P = pd.get_points3("P")
+        indices = pd.get_integers("indices")
+        if P is None or indices is None:
+            raise ValueError("trianglemesh needs P and indices")
+        N = pd.get_normals("N")
+        UV = pd.get_points2("uv")
+        self._emit_mesh(P, np.asarray(indices).reshape(-1, 3), N, UV)
+
+    def _emit_mesh(self, P, idx, N=None, UV=None):
+        ctm = self.state.ctm
+        Pw = (P @ ctm[:3, :3].T) + ctm[:3, 3]
+        if N is not None:
+            inv = np.linalg.inv(ctm)
+            Nw = N @ inv[:3, :3]
+            norms = np.linalg.norm(Nw, axis=-1, keepdims=True)
+            Nw = Nw / np.maximum(norms, 1e-30)
+        rev = self.state.reverse_orientation ^ _swaps_handedness(ctm)
+        if N is not None and rev:
+            Nw = -Nw
+
+        mat = self.state.material_idx
+        for tri in idx:
+            li = -1
+            if self.state.area_light is not None:
+                al = self.state.area_light
+                self.lights.append(
+                    LightSpec(
+                        type=LIGHT_AREA,
+                        emission_dense=al.emission_dense,
+                        scale=al.scale,
+                        two_sided=al.two_sided,
+                        tri_index=len(self.tri_p),
+                    )
+                )
+                li = len(self.lights) - 1
+            self.tri_p.append(Pw[tri])
+            self.tri_n.append(None if N is None else Nw[tri])
+            self.tri_uv.append(None if UV is None else UV[tri])
+            self.tri_mat.append(mat)
+            self.tri_light.append(li)
+            self.tri_rev.append(rev)
+
+    def add_sphere(self, pd: ParameterDict):
+        radius = pd.get_float("radius", 1.0)
+        ctm = self.state.ctm
+        center = ctm[:3, 3].copy()
+        # uniform scale support: radius scales with cbrt(det)
+        det = np.linalg.det(ctm[:3, :3])
+        s = abs(det) ** (1.0 / 3.0)
+        if not np.allclose(ctm[:3, :3], np.eye(3) * s, atol=1e-6 * max(1.0, s)):
+            raise NotImplementedError(
+                "sphere with non-uniform-scale/rotation transform not supported yet"
+            )
+        li = -1
+        if self.state.area_light is not None:
+            al = self.state.area_light
+            self.lights.append(
+                LightSpec(
+                    type=LIGHT_AREA,
+                    emission_dense=al.emission_dense,
+                    scale=al.scale,
+                    two_sided=al.two_sided,
+                    sphere_index=len(self.spheres),
+                )
+            )
+            li = len(self.lights) - 1
+        self.spheres.append(
+            dict(
+                center=center,
+                radius=radius * s,
+                mat=self.state.material_idx,
+                light=li,
+                rev=self.state.reverse_orientation ^ _swaps_handedness(ctm),
+            )
+        )
+
+    # ------------------------------------------------------------- parsing
+
+    def parse_file(self, path):
+        tokens = lx.tokenize_file(path)
+        self._search_dir = os.path.dirname(os.path.abspath(path))
+        self.parse_tokens(tokens)
+        return self
+
+    def parse_tokens(self, tokens):
+        i = 0
+        n = len(tokens)
+        while i < n:
+            tok = tokens[i]
+            if tok.kind != lx.KEYWORD:
+                raise ValueError(f"expected directive, got {tok}")
+            kw = tok.value
+            i += 1
+
+            if kw == "WorldBegin":
+                self.in_world = True
+                self.state.ctm = tf.identity()
+                continue
+            if kw == "AttributeBegin":
+                self.stack.append(copy.deepcopy(self.state))
+                continue
+            if kw == "AttributeEnd":
+                self.state = self.stack.pop()
+                continue
+            if kw == "ReverseOrientation":
+                self.state.reverse_orientation = not self.state.reverse_orientation
+                continue
+            if kw == "Identity":
+                self.state.ctm = tf.identity()
+                continue
+
+            # directives with a leading numeric payload
+            if kw == "LookAt":
+                vals = [tokens[i + k].value for k in range(9)]
+                i += 9
+                # CTM := CTM * world-to-camera (reference scene_builder.cu:505-520,
+                # transform.h lookat returns camera_from_world as forward matrix)
+                self.state.ctm = self.state.ctm @ np.linalg.inv(
+                    tf.lookat(vals[0:3], vals[3:6], vals[6:9])
+                )
+                continue
+            if kw == "Translate":
+                vals = [tokens[i + k].value for k in range(3)]
+                i += 3
+                self.state.ctm = self.state.ctm @ tf.translate(*vals)
+                continue
+            if kw == "Scale":
+                vals = [tokens[i + k].value for k in range(3)]
+                i += 3
+                self.state.ctm = self.state.ctm @ tf.scale(*vals)
+                continue
+            if kw == "Rotate":
+                vals = [tokens[i + k].value for k in range(4)]
+                i += 4
+                self.state.ctm = self.state.ctm @ tf.rotate(*vals)
+                continue
+            if kw in ("Transform", "ConcatTransform"):
+                assert tokens[i].kind == lx.LBRACKET
+                vals = [tokens[i + 1 + k].value for k in range(16)]
+                i += 18
+                m = np.asarray(vals, dtype=np.float64).reshape(4, 4).T  # column-major input
+                if kw == "Transform":
+                    self.state.ctm = m
+                else:
+                    self.state.ctm = self.state.ctm @ m
+                continue
+
+            # string-led directives
+            if kw == "Include":
+                fname = tokens[i].value
+                i += 1
+                sub = lx.tokenize_file(os.path.join(self._search_dir, fname))
+                tokens = tokens[:i] + sub + tokens[i:]
+                n = len(tokens)
+                continue
+
+            if kw == "Camera":
+                ctype = tokens[i].value
+                i += 1
+                pd, i = parse_parameters(tokens, i)
+                if ctype != "perspective":
+                    raise ValueError(f"camera {ctype!r} not supported")
+                self.camera = {
+                    "type": ctype,
+                    "fov": pd.get_float("fov", 90.0),
+                    "lensradius": pd.get_float("lensradius", 0.0),
+                    "focaldistance": pd.get_float("focaldistance", 1e6),
+                    "camera_from_world": self.state.ctm.copy(),
+                }
+                continue
+            if kw == "Film":
+                _ = tokens[i].value
+                i += 1
+                pd, i = parse_parameters(tokens, i)
+                self.film = {
+                    "xresolution": pd.get_integer("xresolution", 1920),
+                    "yresolution": pd.get_integer("yresolution", 1080),
+                    "filename": pd.get_string("filename", "out.png"),
+                }
+                continue
+            if kw == "Sampler":
+                stype = tokens[i].value
+                i += 1
+                pd, i = parse_parameters(tokens, i)
+                if stype not in ("independent", "stratified"):
+                    raise ValueError(f"sampler {stype!r} not supported")
+                self.sampler = {
+                    "type": stype,
+                    "pixelsamples": pd.get_integer("pixelsamples", 4),
+                }
+                continue
+            if kw == "Integrator":
+                itype = tokens[i].value
+                i += 1
+                pd, i = parse_parameters(tokens, i)
+                self.integrator = {
+                    "type": itype,
+                    "maxdepth": pd.get_integer("maxdepth", 5),
+                    "mutations": pd.get_integer("mutationsperpixel", 100),
+                }
+                continue
+            if kw == "PixelFilter":
+                ftype = tokens[i].value
+                i += 1
+                pd, i = parse_parameters(tokens, i)
+                self.filter = {
+                    "type": ftype,
+                    "xradius": pd.get_float("xradius", None),
+                    "yradius": pd.get_float("yradius", None),
+                    "sigma": pd.get_float("sigma", 0.5),
+                    "B": pd.get_float("B", 1.0 / 3.0),
+                    "C": pd.get_float("C", 1.0 / 3.0),
+                }
+                continue
+
+            if kw == "Material":
+                mtype = tokens[i].value
+                i += 1
+                pd, i = parse_parameters(tokens, i)
+                self.state.material_idx = self.make_material(mtype, pd)
+                continue
+            if kw == "MakeNamedMaterial":
+                mname = tokens[i].value
+                i += 1
+                pd, i = parse_parameters(tokens, i)
+                mtype = pd.get_string("type")
+                self.named_materials[mname] = self.make_material(mtype, pd)
+                continue
+            if kw == "NamedMaterial":
+                mname = tokens[i].value
+                i += 1
+                self.state.material_idx = self.named_materials[mname]
+                continue
+
+            if kw == "AreaLightSource":
+                ltype = tokens[i].value
+                i += 1
+                pd, i = parse_parameters(tokens, i)
+                if ltype != "diffuse":
+                    raise ValueError("only diffuse area lights supported")
+                dense, photometric = self.illuminant_dense(pd, "L")
+                scale = pd.get_float("scale", 1.0) / photometric
+                self.state.area_light = AreaLightSpec(
+                    emission_dense=dense,
+                    scale=scale,
+                    two_sided=pd.get_bool("twosided", False),
+                )
+                continue
+
+            if kw == "LightSource":
+                ltype = tokens[i].value
+                i += 1
+                pd, i = parse_parameters(tokens, i)
+                self._add_light_source(ltype, pd)
+                continue
+
+            if kw == "Shape":
+                stype = tokens[i].value
+                i += 1
+                pd, i = parse_parameters(tokens, i)
+                if stype == "trianglemesh":
+                    self.add_triangle_mesh(pd)
+                elif stype == "sphere":
+                    self.add_sphere(pd)
+                elif stype == "plymesh":
+                    from pbrt_tpu.scene.ply import read_ply
+
+                    fname = os.path.join(self._search_dir, pd.get_string("filename"))
+                    P, idx, N, UV = read_ply(fname)
+                    self._emit_mesh(P, idx, N, UV)
+                else:
+                    raise ValueError(f"shape {stype!r} not supported yet")
+                continue
+
+            if kw == "Texture":
+                tname = tokens[i].value
+                ttype = tokens[i + 1].value  # "float" | "spectrum"
+                tclass = tokens[i + 2].value
+                i += 3
+                pd, i = parse_parameters(tokens, i)
+                if ttype == "float":
+                    self.float_textures[tname] = (tclass, pd)
+                else:
+                    self.spectrum_textures[tname] = (tclass, pd)
+                continue
+
+            if kw in ("MakeNamedMedium", "MediumInterface", "CoordSysTransform",
+                      "ObjectBegin", "ObjectEnd", "ObjectInstance"):
+                raise NotImplementedError(f"directive {kw} not implemented yet")
+
+            raise ValueError(f"unknown directive {kw!r}")
+
+    def _add_light_source(self, ltype, pd):
+        if ltype == "distant":
+            dense, photometric = self.illuminant_dense(pd, "L")
+            scale = pd.get_float("scale", 1.0) / photometric
+            frm = pd.get_point3("from", np.zeros(3))
+            to = pd.get_point3("to", np.array([0.0, 0.0, 1.0]))
+            ctm = self.state.ctm
+            w_from = frm @ ctm[:3, :3].T + ctm[:3, 3]
+            w_to = to @ ctm[:3, :3].T + ctm[:3, 3]
+            d = w_from - w_to  # direction TOWARDS the light
+            self.lights.append(
+                LightSpec(
+                    type=LIGHT_DISTANT,
+                    emission_dense=dense,
+                    scale=scale,
+                    direction=d / np.linalg.norm(d),
+                )
+            )
+        elif ltype == "infinite":
+            fname = pd.get_string("filename", None)
+            dense, photometric = self.illuminant_dense(pd, "L")
+            scale = pd.get_float("scale", 1.0) / photometric
+            if fname is None:
+                self.lights.append(
+                    LightSpec(type=LIGHT_UNIFORM_INFINITE, emission_dense=dense, scale=scale)
+                )
+            else:
+                from pbrt_tpu.textures.image import load_image
+
+                img = load_image(os.path.join(self._search_dir, fname))
+                self.lights.append(
+                    LightSpec(
+                        type=LIGHT_IMAGE_INFINITE,
+                        emission_dense=dense,
+                        scale=scale,
+                        image=img,
+                        light_from_render=np.linalg.inv(self.state.ctm),
+                        render_from_light=self.state.ctm.copy(),
+                    )
+                )
+        elif ltype == "spot":
+            dense, photometric = self.illuminant_dense(pd, "I")
+            scale = pd.get_float("scale", 1.0) / photometric
+            frm = pd.get_point3("from", np.zeros(3))
+            to = pd.get_point3("to", np.array([0.0, 0.0, 1.0]))
+            ctm = self.state.ctm
+            w_from = frm @ ctm[:3, :3].T + ctm[:3, 3]
+            w_to = to @ ctm[:3, :3].T + ctm[:3, 3]
+            d = w_to - w_from
+            cone = pd.get_float("coneangle", 30.0)
+            delta = pd.get_float("conedeltaangle", 5.0)
+            self.lights.append(
+                LightSpec(
+                    type=LIGHT_SPOT,
+                    emission_dense=dense,
+                    scale=scale,
+                    position=w_from,
+                    direction=d / np.linalg.norm(d),
+                    cos_falloff_start=float(np.cos(np.deg2rad(cone - delta))),
+                    cos_falloff_end=float(np.cos(np.deg2rad(cone))),
+                )
+            )
+        else:
+            raise ValueError(f"light {ltype!r} not supported")

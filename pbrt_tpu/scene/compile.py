@@ -1,0 +1,306 @@
+"""Scene compiler: host SceneBuilder output -> flat `SceneArrays` pytree.
+
+This is the TPU replacement for the reference's managed-memory object graph
+(SURVEY.md §7: 'host-side scene compiler emitting flat device arrays').
+Everything the jitted renderer needs is a leaf of one NamedTuple: triangle
+SoA, material table, dense-spectra table, light table, camera matrices.
+
+All geometry is emitted in RENDER space = camera-world (world translated so
+the camera sits at the origin), matching the reference default
+(cameras/camera_base.h:34-39 CameraWorldCoordSystem) — this keeps fp32
+catastrophic cancellation away from the camera.
+"""
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu.geometry import transform as tf
+from pbrt_tpu.scene import builder as bd
+from pbrt_tpu.spectral import cie, rgb2spec
+
+
+class SceneArrays(NamedTuple):
+    # triangles (render space)
+    tri_p0: jnp.ndarray
+    tri_p1: jnp.ndarray
+    tri_p2: jnp.ndarray
+    tri_n0: jnp.ndarray
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_has_n: jnp.ndarray
+    tri_uv0: jnp.ndarray
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_mat: jnp.ndarray
+    tri_light: jnp.ndarray
+    tri_rev: jnp.ndarray
+    # spheres
+    sph_center: jnp.ndarray
+    sph_radius: jnp.ndarray
+    sph_mat: jnp.ndarray
+    sph_light: jnp.ndarray
+    # materials
+    mat_type: jnp.ndarray        # (M,) i32
+    mat_refl_c: jnp.ndarray      # (M,3) sigmoid coeffs of reflectance/albedo
+    mat_trans_c: jnp.ndarray     # (M,3) transmittance coeffs
+    mat_urough: jnp.ndarray      # (M,)
+    mat_vrough: jnp.ndarray
+    mat_remap: jnp.ndarray       # (M,) bool
+    mat_eta: jnp.ndarray         # (M,) dielectric eta (float mode)
+    mat_eta_spec: jnp.ndarray    # (M,) i32 row into spec_table or -1
+    mat_k_spec: jnp.ndarray
+    mat_refl_mode: jnp.ndarray   # (M,) bool: conductor uses reflectance mode
+    # spectra
+    spec_table: jnp.ndarray      # (NS, 471) f32
+    # lights
+    lt_type: jnp.ndarray         # (L,) i32
+    lt_emission: jnp.ndarray     # (L, 471) f32 radiance spectrum
+    lt_scale: jnp.ndarray        # (L,) f32 differentiable multiplier
+    lt_twosided: jnp.ndarray     # (L,) bool
+    lt_tri: jnp.ndarray          # (L,) i32
+    lt_direction: jnp.ndarray    # (L, 3) distant/spot
+    lt_position: jnp.ndarray     # (L, 3) spot
+    lt_cos_start: jnp.ndarray    # (L,)
+    lt_cos_end: jnp.ndarray
+    lt_pmf: jnp.ndarray          # (L,) sampling pmf
+    # camera (render space)
+    camera_from_raster: jnp.ndarray   # (4,4)
+    render_from_camera: jnp.ndarray   # (4,4)
+    camera_lens_radius: jnp.ndarray   # ()
+    camera_focal_distance: jnp.ndarray
+    # constants
+    scene_radius: jnp.ndarray    # ()
+    ray_offset_scale: jnp.ndarray  # () epsilon used to offset spawned rays
+
+
+@dataclass
+class SceneMeta:
+    """Static (non-traced) scene config."""
+
+    resolution: tuple
+    spp: int
+    sampler: str
+    integrator: str
+    max_depth: int
+    filename: str
+    n_tris: int
+    n_spheres: int
+    n_lights: int
+    filter: dict
+    mutations_per_pixel: int = 100
+
+
+def build_perspective_matrices(fov, resolution):
+    """camera_from_raster per reference cameras/perspective.cu:20-41."""
+    resx, resy = resolution
+    aspect = resx / resy
+    if aspect > 1.0:
+        x0, x1, y0, y1 = -aspect, aspect, -1.0, 1.0
+    else:
+        x0, x1, y0, y1 = -1.0, 1.0, -1.0 / aspect, 1.0 / aspect
+    ndc_from_screen = tf.scale(1.0 / (x1 - x0), 1.0 / (y1 - y0), 1.0) @ tf.translate(
+        -x0, -y1, 0.0
+    )
+    raster_from_ndc = tf.scale(resx, -resy, 1.0)
+    raster_from_screen = raster_from_ndc @ ndc_from_screen
+    screen_from_camera = tf.perspective(fov, 1e-2, 1000.0)
+    camera_from_raster = np.linalg.inv(screen_from_camera) @ np.linalg.inv(raster_from_screen)
+    return camera_from_raster
+
+
+def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=None):
+    """-> (SceneArrays, SceneMeta)."""
+    f32 = np.float32
+
+    # ---- camera / render space
+    camera_from_world = b.camera["camera_from_world"]
+    world_from_camera = np.linalg.inv(camera_from_world)
+    cam_pos = world_from_camera[:3, 3]
+    world_from_render = tf.translate(*cam_pos)
+    render_from_world = np.linalg.inv(world_from_render)
+    render_from_camera = render_from_world @ world_from_camera
+    resolution = (b.film["xresolution"], b.film["yresolution"])
+    camera_from_raster = build_perspective_matrices(b.camera["fov"], resolution)
+
+    def to_render_p(p):
+        return np.asarray(p) - cam_pos
+
+    # ---- triangles
+    T = len(b.tri_p)
+    if T:
+        tp = np.stack(b.tri_p)  # (T,3,3)
+        tp = tp - cam_pos
+        has_n = np.array([n is not None for n in b.tri_n])
+        tn = np.stack([
+            n if n is not None else np.zeros((3, 3)) for n in b.tri_n
+        ])
+        has_uv = [u is not None for u in b.tri_uv]
+        tuv = np.stack([
+            u if u is not None else np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
+            for u in b.tri_uv
+        ])
+    else:
+        tp = np.zeros((0, 3, 3))
+        tn = np.zeros((0, 3, 3))
+        tuv = np.zeros((0, 3, 2))
+        has_n = np.zeros((0,), bool)
+
+    # ---- spheres
+    S = len(b.spheres)
+    sph_center = np.stack([to_render_p(s["center"]) for s in b.spheres]) if S else np.zeros((0, 3))
+    sph_radius = np.array([s["radius"] for s in b.spheres]) if S else np.zeros((0,))
+    sph_mat = np.array([s["mat"] for s in b.spheres], np.int32) if S else np.zeros((0,), np.int32)
+    sph_light = np.array([s["light"] for s in b.spheres], np.int32) if S else np.zeros((0,), np.int32)
+
+    # ---- materials
+    M = len(b.materials)
+    mat_type = np.array([m.type for m in b.materials], np.int32)
+
+    def coeffs_of(rgb):
+        if rgb is None:
+            return np.zeros(3, f32)
+        return np.asarray(
+            rgb2spec.rgb_to_coefficients(jnp.asarray(np.clip(rgb, 0.0, 1.0), jnp.float32))
+        )
+
+    mat_refl_c = np.stack([coeffs_of(m.reflectance_rgb) for m in b.materials])
+    mat_trans_c = np.stack([coeffs_of(m.transmittance_rgb) for m in b.materials])
+    mat_urough = np.array([m.uroughness for m in b.materials], f32)
+    mat_vrough = np.array([m.vroughness for m in b.materials], f32)
+    mat_remap = np.array([m.remap_roughness for m in b.materials])
+    mat_eta = np.array([m.eta_float for m in b.materials], f32)
+    mat_eta_spec = np.array([m.eta_spec for m in b.materials], np.int32)
+    mat_k_spec = np.array([m.k_spec for m in b.materials], np.int32)
+    mat_refl_mode = np.array(
+        [m.type == bd.MAT_CONDUCTOR and m.reflectance_rgb is not None for m in b.materials]
+    )
+
+    # ---- spectra table
+    NS = max(1, len(b.spectra_rows))
+    spec_table = np.zeros((NS, cie.LAMBDA_RANGE), f32)
+    for i, row in enumerate(b.spectra_rows):
+        spec_table[i] = row
+
+    # ---- lights
+    L = len(b.lights)
+    if L:
+        lt_type = np.array([l.type for l in b.lights], np.int32)
+        lt_emission = np.stack([l.emission_dense for l in b.lights]).astype(f32)
+        lt_scale = np.array([l.scale for l in b.lights], f32)
+        lt_twosided = np.array([l.two_sided for l in b.lights])
+        lt_tri = np.array([l.tri_index for l in b.lights], np.int32)
+        lt_direction = np.stack(
+            [l.direction if l.direction is not None else np.zeros(3) for l in b.lights]
+        )
+        lt_position = np.stack(
+            [to_render_p(l.position) if l.position is not None else np.zeros(3) for l in b.lights]
+        )
+        lt_cos_start = np.array([l.cos_falloff_start for l in b.lights], f32)
+        lt_cos_end = np.array([l.cos_falloff_end for l in b.lights], f32)
+    else:
+        lt_type = np.zeros((0,), np.int32)
+        lt_emission = np.zeros((0, cie.LAMBDA_RANGE), f32)
+        lt_scale = np.zeros((0,), f32)
+        lt_twosided = np.zeros((0,), bool)
+        lt_tri = np.zeros((0,), np.int32)
+        lt_direction = np.zeros((0, 3))
+        lt_position = np.zeros((0, 3))
+        lt_cos_start = np.zeros((0,), f32)
+        lt_cos_end = np.zeros((0,), f32)
+
+    # power-proportional light pmf (reference PowerLightSampler,
+    # light_samplers/power_light_sampler.cu): phi ~ pi*(1|2)*area*<Le,1>;
+    # uniform fallback if all-zero.
+    power = np.zeros(L)
+    for i, l in enumerate(b.lights):
+        le = float(np.mean(l.emission_dense)) * l.scale
+        if l.type == bd.LIGHT_AREA and l.tri_index >= 0:
+            p = tp[l.tri_index]
+            area = 0.5 * np.linalg.norm(np.cross(p[1] - p[0], p[2] - p[0]))
+            power[i] = np.pi * (2.0 if l.two_sided else 1.0) * area * le
+        elif l.type == bd.LIGHT_AREA and l.sphere_index >= 0:
+            r = b.spheres[l.sphere_index]["radius"]
+            area = 4 * np.pi * r * r
+            power[i] = np.pi * (2.0 if l.two_sided else 1.0) * area * le
+        else:
+            power[i] = le  # scene-radius scaling applied uniformly; fine for pmf
+    if power.sum() <= 0:
+        power = np.ones(L)
+    lt_pmf = (power / power.sum()).astype(f32) if L else np.zeros((0,), f32)
+
+    # ---- scene bounds -> epsilon (reference scene_builder.cu:914-918)
+    all_pts = [tp.reshape(-1, 3)] if T else []
+    if S:
+        all_pts.append(sph_center + sph_radius[:, None])
+        all_pts.append(sph_center - sph_radius[:, None])
+    pts = np.concatenate(all_pts) if all_pts else np.zeros((1, 3))
+    center = 0.5 * (pts.min(0) + pts.max(0))
+    radius = float(np.linalg.norm(pts - center, axis=-1).max()) if len(pts) else 1.0
+
+    arrays = SceneArrays(
+        tri_p0=jnp.asarray(tp[:, 0], jnp.float32),
+        tri_p1=jnp.asarray(tp[:, 1], jnp.float32),
+        tri_p2=jnp.asarray(tp[:, 2], jnp.float32),
+        tri_n0=jnp.asarray(tn[:, 0], jnp.float32),
+        tri_n1=jnp.asarray(tn[:, 1], jnp.float32),
+        tri_n2=jnp.asarray(tn[:, 2], jnp.float32),
+        tri_has_n=jnp.asarray(has_n),
+        tri_uv0=jnp.asarray(tuv[:, 0], jnp.float32),
+        tri_uv1=jnp.asarray(tuv[:, 1], jnp.float32),
+        tri_uv2=jnp.asarray(tuv[:, 2], jnp.float32),
+        tri_mat=jnp.asarray(np.asarray(b.tri_mat, np.int32)),
+        tri_light=jnp.asarray(np.asarray(b.tri_light, np.int32)),
+        tri_rev=jnp.asarray(np.asarray(b.tri_rev, bool)),
+        sph_center=jnp.asarray(sph_center, jnp.float32),
+        sph_radius=jnp.asarray(sph_radius, jnp.float32),
+        sph_mat=jnp.asarray(sph_mat),
+        sph_light=jnp.asarray(sph_light),
+        mat_type=jnp.asarray(mat_type),
+        mat_refl_c=jnp.asarray(mat_refl_c, jnp.float32),
+        mat_trans_c=jnp.asarray(mat_trans_c, jnp.float32),
+        mat_urough=jnp.asarray(mat_urough),
+        mat_vrough=jnp.asarray(mat_vrough),
+        mat_remap=jnp.asarray(mat_remap),
+        mat_eta=jnp.asarray(mat_eta),
+        mat_eta_spec=jnp.asarray(mat_eta_spec),
+        mat_k_spec=jnp.asarray(mat_k_spec),
+        mat_refl_mode=jnp.asarray(mat_refl_mode),
+        spec_table=jnp.asarray(spec_table),
+        lt_type=jnp.asarray(lt_type),
+        lt_emission=jnp.asarray(lt_emission),
+        lt_scale=jnp.asarray(lt_scale),
+        lt_twosided=jnp.asarray(lt_twosided),
+        lt_tri=jnp.asarray(lt_tri),
+        lt_direction=jnp.asarray(lt_direction, jnp.float32),
+        lt_position=jnp.asarray(lt_position, jnp.float32),
+        lt_cos_start=jnp.asarray(lt_cos_start),
+        lt_cos_end=jnp.asarray(lt_cos_end),
+        lt_pmf=jnp.asarray(lt_pmf),
+        camera_from_raster=jnp.asarray(camera_from_raster, jnp.float32),
+        render_from_camera=jnp.asarray(render_from_camera, jnp.float32),
+        camera_lens_radius=jnp.asarray(b.camera.get("lensradius", 0.0), jnp.float32),
+        camera_focal_distance=jnp.asarray(b.camera.get("focaldistance", 1e6), jnp.float32),
+        scene_radius=jnp.asarray(radius, jnp.float32),
+        ray_offset_scale=jnp.asarray(min(radius * 1e-5, 1e-3) / max(radius, 1e-6), jnp.float32),
+    )
+    meta = SceneMeta(
+        resolution=resolution,
+        spp=spp_override or b.sampler["pixelsamples"],
+        sampler=b.sampler["type"],
+        integrator=integrator_override or b.integrator["type"],
+        max_depth=b.integrator.get("maxdepth", 5),
+        filename=b.film["filename"],
+        n_tris=T,
+        n_spheres=S,
+        n_lights=L,
+        filter=b.filter,
+        mutations_per_pixel=b.integrator.get("mutations", 100),
+    )
+    return arrays, meta
+
+
+def load_scene(path, spp=None, integrator=None):
+    b = bd.SceneBuilder().parse_file(path)
+    return compile_scene(b, spp_override=spp, integrator_override=integrator)
