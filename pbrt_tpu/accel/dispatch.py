@@ -1,0 +1,126 @@
+"""Scene-level closest-hit / any-hit queries.
+
+Counterpart of reference accelerator/hlbvh.h intersect/fast_intersect
+(traversal) + base/interaction.h (hit record assembly). v0 strategy: dense
+ray x primitive blocks — for scenes up to a few thousand primitives this
+saturates the VPU far better than divergent per-ray traversal would, and is
+exactly the per-leaf kernel once the BVH layer (pbrt_tpu.accel.bvh) routes
+ray packets to leaf clusters for big scenes.
+"""
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from pbrt_tpu.utils.math import INFINITY
+from pbrt_tpu.geometry import vecmath as vm
+from pbrt_tpu.geometry import intersect as ix
+
+
+class SceneHit(NamedTuple):
+    valid: jnp.ndarray   # (R,)
+    t: jnp.ndarray       # (R,)
+    p: jnp.ndarray       # (R,3)
+    ng: jnp.ndarray      # (R,3) geometric normal (faceforwarded to ns side rules)
+    ns: jnp.ndarray      # (R,3) shading normal
+    uv: jnp.ndarray      # (R,2)
+    mat: jnp.ndarray     # (R,) i32 material (-1 interface)
+    light: jnp.ndarray   # (R,) i32 area light (-1 none)
+    wo: jnp.ndarray      # (R,3)
+
+
+def _tris(scene):
+    return ix.TriangleSoA(scene.tri_p0, scene.tri_p1, scene.tri_p2)
+
+
+def intersect(scene, o, d, t_max) -> SceneHit:
+    R = o.shape[0]
+    have_tris = scene.tri_p0.shape[0] > 0
+    have_sph = scene.sph_center.shape[0] > 0
+
+    t_tri = jnp.full((R,), INFINITY)
+    if have_tris:
+        th = ix.intersect_tris_dense(o, d, t_max, _tris(scene))
+        t_tri = th.t
+    if have_sph:
+        t_s, idx_s, p_s, n_s = ix.intersect_spheres_dense(o, d, t_max, ix.SphereSoA(scene.sph_center, scene.sph_radius))
+    else:
+        t_s = jnp.full((R,), INFINITY)
+
+    use_sphere = t_s < t_tri
+    t = jnp.minimum(t_tri, t_s)
+    valid = t < INFINITY
+
+    # triangle hit record
+    if have_tris:
+        tri = jnp.maximum(th.prim, 0)
+        p0, p1, p2 = scene.tri_p0[tri], scene.tri_p1[tri], scene.tri_p2[tri]
+        b = th.b
+        p_t = b[..., 0:1] * p0 + b[..., 1:2] * p1 + b[..., 2:3] * p2
+        ng_t = vm.normalize(vm.cross(p1 - p0, p2 - p0))
+        rev = scene.tri_rev[tri]
+        ng_t = jnp.where(rev[..., None], -ng_t, ng_t)
+        has_n = scene.tri_has_n[tri]
+        ns_t = vm.normalize(
+            b[..., 0:1] * scene.tri_n0[tri]
+            + b[..., 1:2] * scene.tri_n1[tri]
+            + b[..., 2:3] * scene.tri_n2[tri]
+        )
+        # faceforward geometric normal onto shading normal side (pbrt)
+        ng_adj = jnp.where(
+            has_n[..., None], vm.face_forward(ng_t, ns_t), ng_t
+        )
+        ns_t = jnp.where(has_n[..., None], ns_t, ng_adj)
+        uv_t = (
+            b[..., 0:1] * scene.tri_uv0[tri]
+            + b[..., 1:2] * scene.tri_uv1[tri]
+            + b[..., 2:3] * scene.tri_uv2[tri]
+        )
+        mat_t = scene.tri_mat[tri]
+        light_t = scene.tri_light[tri]
+    else:
+        p_t = jnp.zeros((R, 3))
+        ng_adj = jnp.zeros((R, 3))
+        ns_t = jnp.zeros((R, 3))
+        uv_t = jnp.zeros((R, 2))
+        mat_t = jnp.full((R,), -1, jnp.int32)
+        light_t = jnp.full((R,), -1, jnp.int32)
+
+    if have_sph:
+        sph = jnp.maximum(idx_s, 0)
+        mat_s = scene.sph_mat[sph]
+        light_s = scene.sph_light[sph]
+        # sphere uv: spherical coords (phi, theta) — minimal v0
+        uv_s = jnp.zeros((R, 2))
+        p_hit = jnp.where(use_sphere[..., None], p_s, p_t)
+        ng = jnp.where(use_sphere[..., None], n_s, ng_adj)
+        ns = jnp.where(use_sphere[..., None], n_s, ns_t)
+        uv = jnp.where(use_sphere[..., None], uv_s, uv_t)
+        mat = jnp.where(use_sphere, mat_s, mat_t)
+        light = jnp.where(use_sphere, light_s, light_t)
+    else:
+        p_hit, ng, ns, uv, mat, light = p_t, ng_adj, ns_t, uv_t, mat_t, light_t
+
+    return SceneHit(
+        valid=valid,
+        t=t,
+        p=p_hit,
+        ng=ng,
+        ns=ns,
+        uv=uv,
+        mat=jnp.where(valid, mat, -1),
+        light=jnp.where(valid, light, -1),
+        wo=-d,
+    )
+
+
+def occluded(scene, o, d, t_max):
+    """Any-hit between o and o + t_max*d (reference integrator_base unoccluded)."""
+    occ = jnp.zeros(o.shape[:1], bool)
+    if scene.tri_p0.shape[0] > 0:
+        occ |= ix.occluded_tris_dense(o, d, t_max, _tris(scene))
+    if scene.sph_center.shape[0] > 0:
+        t_s, idx_s, _, _ = ix.intersect_spheres_dense(
+            o, d, t_max, ix.SphereSoA(scene.sph_center, scene.sph_radius)
+        )
+        occ |= idx_s >= 0
+    return occ

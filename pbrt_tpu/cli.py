@@ -1,0 +1,51 @@
+"""Command-line driver: `pbrt-tpu scene.pbrt --spp N --integrator path
+--outfile out.png` (counterpart of reference main.cu +
+scene/command_line_option.h:8-79)."""
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="pbrt-tpu", description="TPU-native spectral path tracer")
+    ap.add_argument("scene", help=".pbrt scene file")
+    ap.add_argument("--spp", type=int, default=None, help="samples per pixel (overrides scene)")
+    ap.add_argument("--integrator", default=None, help="path|ambientocclusion|surfacenormal|...")
+    ap.add_argument("--outfile", default=None, help="output PNG path")
+    ap.add_argument("--resolution", default=None, help="WxH override, e.g. 256x256")
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from pbrt_tpu.scene.compile import load_scene
+    from pbrt_tpu.integrators.render import render_to_png
+
+    t0 = time.time()
+    scene, meta = load_scene(args.scene, spp=args.spp, integrator=args.integrator)
+    if args.resolution:
+        w, h = (int(x) for x in args.resolution.lower().split("x"))
+        from pbrt_tpu.scene import builder as bd
+        from pbrt_tpu.scene.compile import compile_scene
+
+        b = bd.SceneBuilder().parse_file(args.scene)
+        b.film["xresolution"], b.film["yresolution"] = w, h
+        scene, meta = compile_scene(b, spp_override=args.spp, integrator_override=args.integrator)
+    if not args.quiet:
+        print(
+            f"scene: {meta.n_tris} tris, {meta.n_spheres} spheres, {meta.n_lights} lights; "
+            f"{meta.resolution[0]}x{meta.resolution[1]} @ {meta.spp} spp, "
+            f"integrator={meta.integrator} (devices: {jax.devices()})"
+        )
+    t1 = time.time()
+    out = render_to_png(scene, meta, out_path=args.outfile, verbose=not args.quiet)
+    t2 = time.time()
+    if not args.quiet:
+        n_rays = meta.resolution[0] * meta.resolution[1] * meta.spp
+        print(f"parse+compile {t1 - t0:.2f}s, render {t2 - t1:.2f}s "
+              f"({n_rays / max(t2 - t1, 1e-9) / 1e6:.2f} Mpaths/s) -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

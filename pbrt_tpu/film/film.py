@@ -1,0 +1,72 @@
+"""RGBFilm: spectral samples -> sensor RGB accumulation -> image.
+
+Counterpart of reference film/rgb_film.h/.cu + pixel_sensor: per-pixel
+(rgb_sum, weight_sum, splat) with the CIE-XYZ sensor and rgb_from_xyz output
+matrix (rgb_film.cu:20-49). Accumulation is a scatter-add (`.at[].add`) —
+the TPU-native replacement for the reference's sorted ping-pong framebuffer
+(wavefront_path.cu:216-234): XLA makes the adds deterministic, so the
+determinism machinery disappears.
+"""
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu.spectral import cie, colorspace
+
+
+class Film(NamedTuple):
+    rgb_sum: jnp.ndarray     # (H*W, 3) sensor rgb
+    weight_sum: jnp.ndarray  # (H*W,)
+    splat: jnp.ndarray       # (H*W, 3) for BDPT/MLT
+
+
+def new_film(resolution):
+    w, h = resolution
+    n = w * h
+    return Film(
+        rgb_sum=jnp.zeros((n, 3), jnp.float32),
+        weight_sum=jnp.zeros((n,), jnp.float32),
+        splat=jnp.zeros((n, 3), jnp.float32),
+    )
+
+
+@functools.lru_cache(None)
+def _cie_xyz_dense():
+    return np.stack([cie.X(), cie.Y(), cie.Z()]).astype(np.float32)
+
+
+def to_sensor_rgb(L, lam, pdf):
+    return colorspace.to_sensor_rgb(L, lam, pdf, jnp.asarray(_cie_xyz_dense()))
+
+
+def add_samples(film: Film, pixel_idx, L, lam, pdf, weight):
+    """Weighted add (reference rgb_film.cu:64-80). pixel_idx: (R,)."""
+    rgb = to_sensor_rgb(L, lam, pdf)
+    rgb = jnp.where(jnp.isfinite(rgb), rgb, 0.0)  # NaN guard like DEBUG_MODE checks
+    return film._replace(
+        rgb_sum=film.rgb_sum.at[pixel_idx].add(weight[..., None] * rgb),
+        weight_sum=film.weight_sum.at[pixel_idx].add(weight),
+    )
+
+
+def add_splats(film: Film, pixel_idx, L, lam, pdf, weight):
+    rgb = to_sensor_rgb(L, lam, pdf)
+    rgb = jnp.where(jnp.isfinite(rgb), rgb, 0.0)
+    return film._replace(splat=film.splat.at[pixel_idx].add(weight[..., None] * rgb))
+
+
+def develop(film: Film, resolution, splat_scale=0.0):
+    """-> (H, W, 3) linear output-RGB (reference rgb_film.cu:108-122 +
+    output_rgb_from_sensor_rgb matrix)."""
+    w, h = resolution
+    rgb = film.rgb_sum / jnp.maximum(film.weight_sum[:, None], 1e-9)
+    rgb = rgb + splat_scale * film.splat
+    out = colorspace.apply_matrix(colorspace.srgb().rgb_from_xyz, rgb)
+    return out.reshape(h, w, 3)
+
+
+def to_srgb8(linear_rgb):
+    enc = colorspace.srgb_encode(jnp.clip(linear_rgb, 0.0, 1.0))
+    return np.asarray(jnp.round(enc * 255.0).astype(jnp.uint8))

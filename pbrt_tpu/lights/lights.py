@@ -1,0 +1,242 @@
+"""Light sampling, vectorized over lanes.
+
+Counterpart of reference lights/ (796 LoC) + light_samplers/: every lane
+carries a sampled light index; emission/Li-sampling gathers the light table
+row and switches on type with jnp.where.
+
+Area lights are triangle emitters (reference base/light.cu:56-75 creates one
+DiffuseAreaLight per mesh triangle). sample_li/pdf_li reproduce the
+reference Triangle::sample(ctx,u)/pdf(ctx,wi) logic (shapes/triangle.cu:
+25-211): spherical-triangle sampling with bilinear cos warp inside the
+[MIN,MAX] solid-angle window, uniform-area sampling outside it.
+"""
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from pbrt_tpu.geometry import vecmath as vm
+from pbrt_tpu.sampling import warps
+from pbrt_tpu.spectral import spectra
+from pbrt_tpu.scene import builder as bd
+
+MIN_SPHERICAL_SAMPLE_AREA = 3e-4
+MAX_SPHERICAL_SAMPLE_AREA = 6.22
+
+
+class LightLiSample(NamedTuple):
+    L: jnp.ndarray        # (R,4)
+    wi: jnp.ndarray       # (R,3)
+    pdf: jnp.ndarray      # (R,) solid-angle pdf
+    p_light: jnp.ndarray  # (R,3)
+    n_light: jnp.ndarray  # (R,3)
+    valid: jnp.ndarray    # (R,)
+    is_delta: jnp.ndarray  # (R,) delta direction/position light
+    is_distant: jnp.ndarray  # (R,) at-infinity light (shadow ray semantics)
+
+
+def emission(scene, light_idx, lam):
+    """Emission spectrum of light light_idx at λ: (R,4).
+    scale * Lemit(λ) (reference diffuse_area_light.cu:35-42 minus the
+    one-sided test, applied by callers)."""
+    li = jnp.maximum(light_idx, 0)
+    em = spectra.sample_table(scene.lt_emission, li, lam)
+    return em * scene.lt_scale[li][..., None]
+
+
+def area_light_le(scene, light_idx, n, w, lam):
+    """Radiance leaving an emissive surface hit: zero from the back side
+    unless two-sided."""
+    li = jnp.maximum(light_idx, 0)
+    em = emission(scene, light_idx, lam)
+    front = vm.dot(n, w) > 0.0
+    ok = front | scene.lt_twosided[li]
+    return jnp.where((ok & (light_idx >= 0))[..., None], em, 0.0)
+
+
+def _tri_verts(scene, tri_idx):
+    t = jnp.maximum(tri_idx, 0)
+    return scene.tri_p0[t], scene.tri_p1[t], scene.tri_p2[t]
+
+
+def _tri_solid_angle(p0, p1, p2, p):
+    return vm.spherical_triangle_area(
+        vm.normalize(p0 - p), vm.normalize(p1 - p), vm.normalize(p2 - p)
+    )
+
+
+def _tri_area_normal(p0, p1, p2):
+    cr = vm.cross(p1 - p0, p2 - p0)
+    area = 0.5 * vm.length(cr)
+    n = cr / jnp.maximum(2.0 * area, 1e-30)[..., None]
+    return area, n
+
+
+def sample_area_light_li(scene, light_idx, p_ref, ns_ref, u2):
+    """Triangle-emitter Li sampling for lanes with an area light.
+
+    Returns (p_light (R,3), n_light (R,3), pdf_sa (R,), valid)."""
+    tri = scene.lt_tri[jnp.maximum(light_idx, 0)]
+    p0, p1, p2 = _tri_verts(scene, tri)
+    area, n_geo = _tri_area_normal(p0, p1, p2)
+    sa = _tri_solid_angle(p0, p1, p2, p_ref)
+    use_area = (sa < MIN_SPHERICAL_SAMPLE_AREA) | (sa > MAX_SPHERICAL_SAMPLE_AREA)
+
+    # --- path A: uniform-area sampling, pdf converted to solid angle
+    b_area = warps.sample_uniform_triangle(u2)
+    pA = (
+        b_area[..., 0:1] * p0 + b_area[..., 1:2] * p1 + b_area[..., 2:3] * p2
+    )
+    wiA = pA - p_ref
+    dist2A = vm.length_squared(wiA)
+    wiA_n = wiA / jnp.maximum(jnp.sqrt(dist2A), 1e-30)[..., None]
+    cosA = vm.absdot(n_geo, -wiA_n)
+    pdfA = (1.0 / jnp.maximum(area, 1e-30)) * dist2A / jnp.maximum(cosA, 1e-9)
+    validA = (dist2A > 0.0) & (cosA > 1e-7) & jnp.isfinite(pdfA)
+
+    # --- path B: spherical triangle with bilinear cos warp at receiver
+    has_ns = vm.length_squared(ns_ref) > 0.0
+    wi0 = vm.normalize(p0 - p_ref)
+    wi1 = vm.normalize(p1 - p_ref)
+    wi2 = vm.normalize(p2 - p_ref)
+    w_corner = jnp.stack(
+        [
+            jnp.maximum(0.01, vm.absdot(ns_ref, wi1)),
+            jnp.maximum(0.01, vm.absdot(ns_ref, wi1)),
+            jnp.maximum(0.01, vm.absdot(ns_ref, wi0)),
+            jnp.maximum(0.01, vm.absdot(ns_ref, wi2)),
+        ],
+        axis=-1,
+    )
+    u_warp = jnp.where(has_ns[..., None], warps.sample_bilinear(u2, w_corner), u2)
+    pdf_warp = jnp.where(has_ns, warps.bilinear_pdf(u_warp, w_corner), 1.0)
+    b_sph, pdf_tri = warps.sample_spherical_triangle(p0, p1, p2, p_ref, u_warp)
+    pB = (
+        b_sph[..., 0:1] * p0 + b_sph[..., 1:2] * p1 + b_sph[..., 2:3] * p2
+    )
+    pdfB = pdf_tri * pdf_warp
+    validB = pdf_tri > 0.0
+
+    p_light = jnp.where(use_area[..., None], pA, pB)
+    pdf = jnp.where(use_area, pdfA, pdfB)
+    valid = jnp.where(use_area, validA, validB)
+    return p_light, n_geo, pdf, valid
+
+
+def area_light_pdf_li(scene, light_idx, p_ref, ns_ref, wi, hit_p, hit_n):
+    """pdf (solid angle) that sample_area_light_li would generate direction
+    wi towards the known hit point on the light (reference triangle.cu:25-72).
+
+    hit_p/hit_n: the intersection point and geometric normal on the light
+    (we already have them from the ray cast, so no re-intersection needed)."""
+    tri = scene.lt_tri[jnp.maximum(light_idx, 0)]
+    p0, p1, p2 = _tri_verts(scene, tri)
+    area, _ = _tri_area_normal(p0, p1, p2)
+    sa = _tri_solid_angle(p0, p1, p2, p_ref)
+    use_area = (sa < MIN_SPHERICAL_SAMPLE_AREA) | (sa > MAX_SPHERICAL_SAMPLE_AREA)
+
+    dist2 = vm.length_squared(hit_p - p_ref)
+    cos_l = vm.absdot(hit_n, -wi)
+    pdfA = dist2 / jnp.maximum(area * jnp.maximum(cos_l, 1e-9), 1e-30)
+    pdfA = jnp.where(jnp.isfinite(pdfA), pdfA, 0.0)
+
+    pdfB = 1.0 / jnp.maximum(sa, 1e-12)
+    has_ns = vm.length_squared(ns_ref) > 0.0
+    u_inv = warps.invert_spherical_triangle_sample(p0, p1, p2, p_ref, wi)
+    wi0 = vm.normalize(p0 - p_ref)
+    wi1 = vm.normalize(p1 - p_ref)
+    wi2 = vm.normalize(p2 - p_ref)
+    w_corner = jnp.stack(
+        [
+            jnp.maximum(0.01, vm.absdot(ns_ref, wi1)),
+            jnp.maximum(0.01, vm.absdot(ns_ref, wi1)),
+            jnp.maximum(0.01, vm.absdot(ns_ref, wi0)),
+            jnp.maximum(0.01, vm.absdot(ns_ref, wi2)),
+        ],
+        axis=-1,
+    )
+    pdfB = pdfB * jnp.where(has_ns, warps.bilinear_pdf(u_inv, w_corner), 1.0)
+    return jnp.where(use_area, pdfA, pdfB)
+
+
+def sample_li(scene, light_idx, p_ref, ns_ref, u2, lam, scene_radius):
+    """Dispatch Li sampling over light type; light_idx (R,) into the table."""
+    li = jnp.maximum(light_idx, 0)
+    ltype = scene.lt_type[li]
+    em = emission(scene, light_idx, lam)
+
+    # area
+    p_a, n_a, pdf_a, valid_a = sample_area_light_li(scene, light_idx, p_ref, ns_ref, u2)
+    wi_a = vm.normalize(p_a - p_ref)
+    L_a = jnp.where(
+        (vm.dot(n_a, -wi_a) > 0.0) | scene.lt_twosided[li], 1.0, 0.0
+    )[..., None] * em
+
+    # distant: wi = light direction, pseudo-position 2*radius away
+    wi_d = scene.lt_direction[li]
+    p_d = p_ref + wi_d * (2.0 * scene_radius)
+
+    # uniform infinite: uniform sphere direction
+    wi_u = warps.sample_uniform_sphere(u2)
+    pdf_u = jnp.full_like(pdf_a, warps.UNIFORM_SPHERE_PDF)
+    p_u = p_ref + wi_u * (2.0 * scene_radius)
+
+    # spot: delta position; wi towards light position
+    to_spot = scene.lt_position[li] - p_ref
+    d2_spot = vm.length_squared(to_spot)
+    wi_s = to_spot / jnp.maximum(jnp.sqrt(d2_spot), 1e-30)[..., None]
+    cos_spot = vm.dot(-wi_s, scene.lt_direction[li])
+    from pbrt_tpu.utils.math import smoothstep
+
+    falloff = smoothstep(cos_spot, scene.lt_cos_end[li], scene.lt_cos_start[li])
+    L_s = em * (falloff / jnp.maximum(d2_spot, 1e-12))[..., None]
+
+    is_area = ltype == bd.LIGHT_AREA
+    is_distant = ltype == bd.LIGHT_DISTANT
+    is_uniform = ltype == bd.LIGHT_UNIFORM_INFINITE
+    is_spot = ltype == bd.LIGHT_SPOT
+
+    wi = jnp.where(
+        is_area[..., None],
+        wi_a,
+        jnp.where(is_distant[..., None], wi_d, jnp.where(is_spot[..., None], wi_s, wi_u)),
+    )
+    L = jnp.where(
+        is_area[..., None],
+        L_a,
+        jnp.where(is_spot[..., None], L_s, em),
+    )
+    pdf = jnp.where(is_area, pdf_a, jnp.where(is_uniform, pdf_u, 1.0))
+    p_light = jnp.where(
+        is_area[..., None],
+        p_a,
+        jnp.where(
+            is_spot[..., None],
+            scene.lt_position[li],
+            jnp.where(is_distant[..., None], p_d, p_u),
+        ),
+    )
+    valid = jnp.where(is_area, valid_a, True) & (light_idx >= 0) & (pdf > 0.0)
+    is_delta = is_distant | is_spot
+    at_infinity = is_distant | is_uniform
+    return LightLiSample(
+        L=L,
+        wi=wi,
+        pdf=pdf,
+        p_light=p_light,
+        n_light=jnp.where(is_area[..., None], n_a, -wi),
+        valid=valid,
+        is_delta=is_delta,
+        is_distant=at_infinity,
+    )
+
+
+def infinite_le(scene, lam):
+    """Sum of uniform-infinite-light radiance for escaped rays: (4,) per lane
+    handled by caller; here returns (L_total (R,4) fn, pdf per light).
+    v0: uniform infinite only (image env maps in a later phase)."""
+    # computed in the integrator via a scan over infinite lights
+    raise NotImplementedError
+
+
+def uniform_infinite_pdf_li():
+    return warps.UNIFORM_SPHERE_PDF

@@ -168,6 +168,84 @@ def sample_spherical_triangle(v0, v1, v2, p, u):
     return bary, pdf
 
 
+def sample_linear(u, a, b):
+    """Sample x in [0,1] with density proportional to lerp(x, a, b)."""
+    denom = a + jnp.sqrt(jnp.maximum((1.0 - u) * a * a + u * b * b, 0.0))
+    x = jnp.where(denom > 0.0, u * (a + b) / jnp.maximum(denom, 1e-30), u)
+    return jnp.minimum(x, 0.99999994)
+
+
+def sample_bilinear(u, w):
+    """Sample (x, y) in [0,1]^2 with bilinear corner weights w (..., 4)
+    ordered (w00, w10, w01, w11) (pbrt SampleBilinear)."""
+    y = sample_linear(u[..., 1], w[..., 0] + w[..., 1], w[..., 2] + w[..., 3])
+    x = sample_linear(
+        u[..., 0],
+        (1.0 - y) * w[..., 0] + y * w[..., 2],
+        (1.0 - y) * w[..., 1] + y * w[..., 3],
+    )
+    return jnp.stack([x, y], axis=-1)
+
+
+def bilinear_pdf(p, w):
+    x, y = p[..., 0], p[..., 1]
+    s = jnp.sum(w, axis=-1)
+    interp = (
+        (1 - x) * (1 - y) * w[..., 0]
+        + x * (1 - y) * w[..., 1]
+        + (1 - x) * y * w[..., 2]
+        + x * y * w[..., 3]
+    )
+    inside = (x >= 0) & (x <= 1) & (y >= 0) & (y <= 1)
+    return jnp.where(inside, jnp.where(s == 0.0, 1.0, 4.0 * interp / jnp.maximum(s, 1e-30)), 0.0)
+
+
+def invert_spherical_triangle_sample(v0, v1, v2, p, w):
+    """Invert Arvo sampling: direction w -> the (u0, u1) that generates it
+    (reference util/sampling.cu:42-103 InvertSphericalTriangleSample)."""
+    a = vm.normalize(v0 - p)
+    b = vm.normalize(v1 - p)
+    c = vm.normalize(v2 - p)
+    n_ab = vm.cross(a, b)
+    n_bc = vm.cross(b, c)
+    n_ca = vm.cross(c, a)
+    bad = (
+        (vm.length_squared(n_ab) < 1e-18)
+        | (vm.length_squared(n_bc) < 1e-18)
+        | (vm.length_squared(n_ca) < 1e-18)
+    )
+    n_ab_n = vm.normalize(n_ab)
+    n_bc_n = vm.normalize(n_bc)
+    n_ca_n = vm.normalize(n_ca)
+    alpha = vm.angle_between(n_ab_n, -n_ca_n)
+    beta = vm.angle_between(n_bc_n, -n_ab_n)
+    gamma = vm.angle_between(n_ca_n, -n_bc_n)
+
+    cp = vm.cross(vm.cross(b, w), vm.cross(c, a))
+    cp = vm.normalize(
+        jnp.where((vm.length_squared(cp) < 1e-18)[..., None], a, cp)
+    )
+    cp = jnp.where((vm.dot(cp, a + c) < 0.0)[..., None], -cp, cp)
+
+    n_cpb = vm.cross(cp, b)
+    n_acp = vm.cross(a, cp)
+    degen2 = (vm.length_squared(n_cpb) < 1e-18) | (vm.length_squared(n_acp) < 1e-18)
+    n_cpb_n = vm.normalize(jnp.where(degen2[..., None], a, n_cpb))
+    n_acp_n = vm.normalize(jnp.where(degen2[..., None], b, n_acp))
+    Ap = alpha + vm.angle_between(n_ab_n, n_cpb_n) + vm.angle_between(n_acp_n, -n_cpb_n) - PI
+    A = alpha + beta + gamma - PI
+    u0 = jnp.where(
+        vm.dot(a, cp) > 0.99999847691,
+        0.0,
+        jnp.clip(Ap / jnp.maximum(A, 1e-12), 0.0, 1.0),
+    )
+    u1 = jnp.clip(
+        (1.0 - vm.dot(w, b)) / jnp.maximum(1.0 - vm.dot(cp, b), 1e-12), 0.0, 1.0
+    )
+    u = jnp.stack([u0, u1], axis=-1)
+    return jnp.where((bad | degen2)[..., None], 0.5, u)
+
+
 def spherical_triangle_pdf(v0, v1, v2, p, wi):
     """pdf (solid angle) of sampling direction wi towards the triangle =
     1 / spherical area (uniform)."""

@@ -1,0 +1,137 @@
+"""End-to-end render tests on the cornell scene (SURVEY §4 (b) analogue:
+golden statistical properties; pixel-exact goldens need the CUDA reference
+binary which cannot run here)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pbrt_tpu.scene import builder as bd
+from pbrt_tpu.scene.compile import compile_scene
+from pbrt_tpu.integrators import render as R
+
+CORNELL = "/root/reference/example/cornell-box-specular.pbrt"
+
+
+def small_scene(res=48, spp=8, integrator=None):
+    b = bd.SceneBuilder().parse_file(CORNELL)
+    b.film["xresolution"] = b.film["yresolution"] = res
+    return compile_scene(b, spp_override=spp, integrator_override=integrator)
+
+
+@pytest.fixture(scope="module")
+def cornell_img():
+    scene, meta = small_scene()
+    return np.asarray(R.render(scene, meta))
+
+
+def test_cornell_renders_sane(cornell_img):
+    img = cornell_img
+    assert img.shape == (48, 48, 3)
+    assert np.isfinite(img).all()
+    # small negatives are out-of-gamut spectral noise (clamped at encode)
+    assert img.min() > -0.1
+    mean = img.mean()
+    assert 0.15 < mean < 0.5, f"scene brightness {mean} out of expected band"
+
+
+def test_cornell_light_is_brightest(cornell_img):
+    img = cornell_img
+    # the ceiling light (emission ~20) is the max region
+    assert img.max() > 5.0
+    ys, xs, _ = np.unravel_index(np.argmax(img), img.shape)
+    assert ys < 10  # near the top of the image
+
+
+def test_cornell_wall_tints(cornell_img):
+    img = cornell_img
+    left = img[20:28, 1:4].mean((0, 1))   # green wall at x=0 -> screen left
+    right = img[20:28, 44:47].mean((0, 1))  # red wall at x=552 -> screen right
+    assert left[1] > 1.5 * left[0] and left[1] > 1.5 * left[2], f"left not green {left}"
+    assert right[0] > 1.5 * right[1] and right[0] > 1.5 * right[2], f"right not red {right}"
+
+
+def test_cornell_color_bleeding(cornell_img):
+    """Indirect light: floor areas adjacent to colored walls pick up tint."""
+    img = cornell_img
+    floor_left = img[40:44, 6:12].mean((0, 1))
+    floor_right = img[40:44, 36:42].mean((0, 1))
+    assert floor_left[1] >= floor_left[0] * 0.95  # greenish side
+    assert floor_right[0] >= floor_right[1] * 0.95  # reddish side
+
+
+def test_ao_integrator_runs():
+    scene, meta = small_scene(res=32, spp=4, integrator="ambientocclusion")
+    img = np.asarray(R.render(scene, meta))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.2
+    assert img.min() >= 0.0
+
+
+def test_surface_normal_integrator_runs():
+    scene, meta = small_scene(res=32, spp=2, integrator="surfacenormal")
+    img = np.asarray(R.render(scene, meta))
+    assert np.isfinite(img).all()
+    # floor normals point up (+y): greenish region at bottom
+    floor = img[28:31, 12:20].mean((0, 1))
+    assert floor[1] > floor[0] and floor[1] > floor[2]
+
+
+def test_nee_and_bsdf_estimators_agree():
+    """Direct lighting via NEE == via BSDF sampling at a fixed floor point
+    (validates light pdf / sampling / Le / occlusion consistency)."""
+    import jax
+    from pbrt_tpu.accel import dispatch
+    from pbrt_tpu.materials import materials
+    from pbrt_tpu.lights import lights
+    from pbrt_tpu.geometry import vecmath as vm
+    from pbrt_tpu.geometry.ray import offset_ray_origin
+    from pbrt_tpu.sampling import samplers, rng as prng
+    from pbrt_tpu.spectral import sampled
+    from pbrt_tpu.utils.math import INFINITY
+
+    scene, meta = small_scene()
+    Rn = 1 << 16
+    p = jnp.tile(jnp.asarray([[0.0, -223.0, 1050.0]]), (Rn, 1))
+    ns = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (Rn, 1))
+    wo = vm.normalize(jnp.tile(jnp.asarray([[0.3, 0.8, -0.5]]), (Rn, 1)))
+
+    r = prng.from_seed(prng.u64(jnp.zeros(Rn, jnp.uint32), jnp.arange(Rn, dtype=jnp.uint32)))
+    r, u_lam = samplers.get_1d(r)
+    wl = sampled.sample_visible(u_lam)
+    mat = jnp.full((Rn,), 1, jnp.int32)
+    bsdf, wl = materials.make_bsdf(scene, mat, ns, wl)
+
+    r, u1 = samplers.get_1d(r)
+    r, u2 = samplers.get_2d(r)
+    cdf = jnp.cumsum(scene.lt_pmf)
+    li_idx = jnp.clip(
+        jnp.searchsorted(cdf, u1, side="right").astype(jnp.int32), 0, scene.lt_pmf.shape[0] - 1
+    )
+    pmf = scene.lt_pmf[li_idx]
+    ls = lights.sample_li(scene, li_idx, p, ns, u2, wl.lam, scene.scene_radius)
+    f = materials.bsdf_f(bsdf, wo, ls.wi) * vm.absdot(ls.wi, ns)[..., None]
+    o_sh = offset_ray_origin(p, ns, ls.wi, scene.ray_offset_scale)
+    dist = vm.distance(o_sh, ls.p_light)
+    occ = dispatch.occluded(scene, o_sh, ls.wi, dist * (1 - 1e-3))
+    pdf_l = pmf * ls.pdf
+    est_nee = jnp.where(
+        (ls.valid & ~occ & (pdf_l > 0))[..., None],
+        f * ls.L / jnp.maximum(pdf_l, 1e-20)[..., None],
+        0.0,
+    ).mean(0)
+
+    r, uc = samplers.get_1d(r)
+    r, u2b = samplers.get_2d(r)
+    bs = materials.bsdf_sample(bsdf, wo, uc, u2b)
+    o2 = offset_ray_origin(p, ns, bs.wi, scene.ray_offset_scale)
+    hit = dispatch.intersect(scene, o2, bs.wi, jnp.full((Rn,), INFINITY))
+    Le = lights.area_light_le(scene, hit.light, hit.ng, hit.wo, wl.lam)
+    est_b = jnp.where(
+        (bs.valid & hit.valid & (hit.light >= 0))[..., None],
+        bs.f * vm.absdot(bs.wi, ns)[..., None] / jnp.maximum(bs.pdf, 1e-20)[..., None] * Le,
+        0.0,
+    ).mean(0)
+
+    a, b2 = np.asarray(est_nee), np.asarray(est_b)
+    assert np.all(a > 0)
+    assert np.allclose(a, b2, rtol=0.1), (a, b2)
