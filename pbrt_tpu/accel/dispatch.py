@@ -100,13 +100,18 @@ def intersect(scene, o, d, t_max) -> SceneHit:
     else:
         p_hit, ng, ns, uv, mat, light = p_t, ng_adj, ns_t, uv_t, mat_t, light_t
 
+    # Sanitize miss lanes: a huge/inf position (t = "INFINITY" * d) would
+    # poison reverse-mode gradients downstream — a zero cotangent through a
+    # product with an inf primal is NaN, and that NaN adds into the bars of
+    # real path quantities. Keep every lane's record finite.
+    zaxis = jnp.zeros_like(ng).at[..., 2].set(1.0)
     return SceneHit(
         valid=valid,
-        t=t,
-        p=p_hit,
-        ng=ng,
-        ns=ns,
-        uv=uv,
+        t=jnp.where(valid, t, 1.0),
+        p=jnp.where(valid[..., None], p_hit, o),
+        ng=jnp.where(valid[..., None], ng, zaxis),
+        ns=jnp.where(valid[..., None], ns, zaxis),
+        uv=jnp.where(valid[..., None], uv, 0.0),
         mat=jnp.where(valid, mat, -1),
         light=jnp.where(valid, light, -1),
         wo=-d,

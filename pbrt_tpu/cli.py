@@ -16,6 +16,9 @@ def main(argv=None):
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
+    from pbrt_tpu.utils.jaxcfg import enable_compile_cache
+
+    enable_compile_cache()
     import jax
 
     from pbrt_tpu.scene.compile import load_scene

@@ -14,7 +14,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from pbrt_tpu.utils.math import INFINITY, gamma, safe_sqrt
+from pbrt_tpu.utils.math import INFINITY, clamp_mag, gamma, safe_sqrt
 from pbrt_tpu.geometry import vecmath as vm
 
 
@@ -54,7 +54,7 @@ def intersect_tri_block(o, d, t_max, p0, p1, p2):
     ky = (kx + 1) % 3
 
     dp = jnp.take_along_axis(d, jnp.stack([kx, ky, kz], axis=-1), axis=-1)  # (R, 3)
-    dz_safe = jnp.where(dp[..., 2] == 0.0, 1e-30, dp[..., 2])
+    dz_safe = clamp_mag(dp[..., 2], 1e-12)
     sx = -dp[..., 0] / dz_safe
     sy = -dp[..., 1] / dz_safe
     sz = 1.0 / dz_safe  # (R,)
@@ -97,7 +97,9 @@ def intersect_tri_block(o, d, t_max, p0, p1, p2):
         (t_scaled > 0) & (t_scaled < t_max[:, None] * det),
     )
 
-    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    # clamp_mag: a subnormal det would make inv_det inf, and inf partials
+    # NaN the gradients of every lane summed into shared scene parameters
+    inv_det = 1.0 / clamp_mag(det, 1e-18)  # floor keeps 1/det^2 < f32 max in the VJP
     t = t_scaled * inv_det
     b0 = e0 * inv_det
     b1 = e1 * inv_det
@@ -174,9 +176,9 @@ def intersect_spheres_dense(o, d, t_max, spheres: SphereSoA):
     ok = disc >= 0.0
     sq = safe_sqrt(disc)
     q = -0.5 * (b + jnp.where(b < 0, -sq, sq))
-    a_safe = jnp.where(a == 0.0, 1.0, a)
+    a_safe = clamp_mag(a, 1e-12)
     t0 = q / a_safe
-    t1 = c / jnp.where(q == 0.0, 1.0, q)
+    t1 = c / clamp_mag(q, 1e-12)
     tn = jnp.minimum(t0, t1)
     tf = jnp.maximum(t0, t1)
     eps = 1e-3  # min-t epsilon in units of scene scale; callers offset origins
@@ -189,10 +191,12 @@ def intersect_spheres_dense(o, d, t_max, spheres: SphereSoA):
     found = t_best < INFINITY
     center = spheres.center[best]
     radius = spheres.radius[best]
-    p = o + t_best[:, None] * d
+    # miss lanes must not build p from t = INFINITY: |p| ~ 3e38 makes the
+    # reprojection's VJP overflow (inf * 0-cotangent = NaN in shared params)
+    p = o + jnp.where(found, t_best, 1.0)[:, None] * d
     # reproject for robustness (reference sphere.cu refinement)
     rel = p - center
-    p = center + rel * (radius / jnp.maximum(vm.length(rel), 1e-30))[:, None]
+    p = center + rel * (radius / jnp.maximum(vm.length(rel), 1e-12))[:, None]
     n = vm.normalize(p - center)
     return (
         jnp.where(found, t_best, INFINITY),

@@ -8,7 +8,7 @@ plain pytree leaf that vmap/jit/pallas handle natively.
 """
 import jax.numpy as jnp
 
-from pbrt_tpu.utils.math import safe_sqrt, safe_acos
+from pbrt_tpu.utils.math import safe_sqrt, safe_acos, safe_asin
 
 
 def dot(a, b):
@@ -28,11 +28,15 @@ def length_squared(v):
 
 
 def length(v):
-    return jnp.sqrt(length_squared(v))
+    # safe_sqrt: same primal (arg is >= 0) but with the derivative clamped
+    # at 0 — a zero-length masked lane must not NaN gradients via 0 * inf
+    return safe_sqrt(length_squared(v))
 
 
 def normalize(v):
-    return v / jnp.maximum(length(v), 1e-30)[..., None]
+    # guard 1e-12, not 1e-30: the VJP of 1/m contains 1/m^2, which must
+    # not overflow f32 when a degenerate zero vector comes through
+    return v / jnp.maximum(length(v), 1e-12)[..., None]
 
 
 def distance(a, b):
@@ -80,8 +84,8 @@ def angle_between(a, b):
     small = dot(a, b) < 0
     val = jnp.where(
         small,
-        jnp.pi - 2.0 * jnp.arcsin(jnp.clip(length(a + b) / 2.0, -1.0, 1.0)),
-        2.0 * jnp.arcsin(jnp.clip(length(b - a) / 2.0, -1.0, 1.0)),
+        jnp.pi - 2.0 * safe_asin(length(a + b) / 2.0),
+        2.0 * safe_asin(length(b - a) / 2.0),
     )
     return val
 
@@ -124,21 +128,21 @@ def sin2_theta(w):
 
 
 def sin_theta(w):
-    return jnp.sqrt(sin2_theta(w))
+    return safe_sqrt(sin2_theta(w))
 
 
 def tan2_theta(w):
-    return sin2_theta(w) / jnp.maximum(cos2_theta(w), 1e-30)
+    return sin2_theta(w) / jnp.maximum(cos2_theta(w), 1e-12)
 
 
 def cos_phi(w):
     s = sin_theta(w)
-    return jnp.where(s == 0.0, 1.0, jnp.clip(w[..., 0] / jnp.maximum(s, 1e-30), -1.0, 1.0))
+    return jnp.where(s == 0.0, 1.0, jnp.clip(w[..., 0] / jnp.maximum(s, 1e-12), -1.0, 1.0))
 
 
 def sin_phi(w):
     s = sin_theta(w)
-    return jnp.where(s == 0.0, 0.0, jnp.clip(w[..., 1] / jnp.maximum(s, 1e-30), -1.0, 1.0))
+    return jnp.where(s == 0.0, 0.0, jnp.clip(w[..., 1] / jnp.maximum(s, 1e-12), -1.0, 1.0))
 
 
 def same_hemisphere(w, wp):

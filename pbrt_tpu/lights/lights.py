@@ -67,7 +67,7 @@ def _tri_solid_angle(p0, p1, p2, p):
 def _tri_area_normal(p0, p1, p2):
     cr = vm.cross(p1 - p0, p2 - p0)
     area = 0.5 * vm.length(cr)
-    n = cr / jnp.maximum(2.0 * area, 1e-30)[..., None]
+    n = cr / jnp.maximum(2.0 * area, 1e-12)[..., None]
     return area, n
 
 
@@ -88,9 +88,9 @@ def sample_area_light_li(scene, light_idx, p_ref, ns_ref, u2):
     )
     wiA = pA - p_ref
     dist2A = vm.length_squared(wiA)
-    wiA_n = wiA / jnp.maximum(jnp.sqrt(dist2A), 1e-30)[..., None]
+    wiA_n = wiA / jnp.sqrt(jnp.maximum(dist2A, 1e-24))[..., None]
     cosA = vm.absdot(n_geo, -wiA_n)
-    pdfA = (1.0 / jnp.maximum(area, 1e-30)) * dist2A / jnp.maximum(cosA, 1e-9)
+    pdfA = (1.0 / jnp.maximum(area, 1e-12)) * dist2A / jnp.maximum(cosA, 1e-9)
     validA = (dist2A > 0.0) & (cosA > 1e-7) & jnp.isfinite(pdfA)
 
     # --- path B: spherical triangle with bilinear cos warp at receiver
@@ -136,7 +136,7 @@ def area_light_pdf_li(scene, light_idx, p_ref, ns_ref, wi, hit_p, hit_n):
 
     dist2 = vm.length_squared(hit_p - p_ref)
     cos_l = vm.absdot(hit_n, -wi)
-    pdfA = dist2 / jnp.maximum(area * jnp.maximum(cos_l, 1e-9), 1e-30)
+    pdfA = dist2 / jnp.maximum(area * jnp.maximum(cos_l, 1e-9), 1e-12)
     pdfA = jnp.where(jnp.isfinite(pdfA), pdfA, 0.0)
 
     pdfB = 1.0 / jnp.maximum(sa, 1e-12)
@@ -183,7 +183,7 @@ def sample_li(scene, light_idx, p_ref, ns_ref, u2, lam, scene_radius):
     # spot: delta position; wi towards light position
     to_spot = scene.lt_position[li] - p_ref
     d2_spot = vm.length_squared(to_spot)
-    wi_s = to_spot / jnp.maximum(jnp.sqrt(d2_spot), 1e-30)[..., None]
+    wi_s = to_spot / jnp.sqrt(jnp.maximum(d2_spot, 1e-24))[..., None]
     cos_spot = vm.dot(-wi_s, scene.lt_direction[li])
     from pbrt_tpu.utils.math import smoothstep
 

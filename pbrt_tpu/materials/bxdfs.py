@@ -99,7 +99,7 @@ def f(p: BxdfParams, wo, wi):
     etap = jnp.where(refl_case, 1.0, jnp.where(cos_o > 0.0, p.eta, 1.0 / p.eta))
     wm_d = wi * etap[..., None] + wo
     wm_d_len2 = vm.length_squared(wm_d)
-    wm_dn = wm_d / jnp.maximum(jnp.sqrt(wm_d_len2), 1e-12)[..., None]
+    wm_dn = wm_d / jnp.sqrt(jnp.maximum(wm_d_len2, 1e-24))[..., None]
     wm_dn = jnp.where((wm_dn[..., 2] < 0.0)[..., None], -wm_dn, wm_dn)
     backfacing = (vm.dot(wm_dn, wi) * cos_i < 0.0) | (vm.dot(wm_dn, wo) * cos_o < 0.0)
     Fd, _, _ = sc.fr_dielectric(vm.dot(wo, wm_dn), p.eta)
@@ -161,7 +161,7 @@ def pdf(p: BxdfParams, wo, wi):
     etap = jnp.where(refl_case, 1.0, jnp.where(cos_o > 0.0, p.eta, 1.0 / p.eta))
     wm_d = wi * etap[..., None] + wo
     wm_d_len2 = vm.length_squared(wm_d)
-    wm_dn = wm_d / jnp.maximum(jnp.sqrt(wm_d_len2), 1e-12)[..., None]
+    wm_dn = wm_d / jnp.sqrt(jnp.maximum(wm_d_len2, 1e-24))[..., None]
     wm_dn = jnp.where((wm_dn[..., 2] < 0.0)[..., None], -wm_dn, wm_dn)
     backfacing = (vm.dot(wm_dn, wi) * cos_i < 0.0) | (vm.dot(wm_dn, wo) * cos_o < 0.0)
     Fd, _, _ = sc.fr_dielectric(vm.dot(wo, wm_dn), p.eta)

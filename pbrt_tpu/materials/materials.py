@@ -40,8 +40,12 @@ def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths):
     k_spec = scene.mat_k_spec[mat_idx_c]
     refl_mode = scene.mat_refl_mode[mat_idx_c]
 
-    ax = jnp.where(remap, sc.roughness_to_alpha(urough), urough)
-    ay = jnp.where(remap, sc.roughness_to_alpha(vrough), vrough)
+    # floor alpha at 1e-4: below the effectively_smooth threshold (1e-3) so
+    # the specular branch still wins, but the unselected rough-lobe formulas
+    # stay finite — otherwise their NaNs leak into d(loss)/d(roughness)
+    # through jnp.where's 0*NaN cotangents.
+    ax = jnp.maximum(jnp.where(remap, sc.roughness_to_alpha(urough), urough), 1e-4)
+    ay = jnp.maximum(jnp.where(remap, sc.roughness_to_alpha(vrough), vrough), 1e-4)
 
     refl = jnp.clip(spectra.sigmoid_polynomial(refl_c, wl.lam), 0.0, 1.0)
     trans = jnp.clip(spectra.sigmoid_polynomial(trans_c, wl.lam), 0.0, 1.0)
@@ -51,7 +55,7 @@ def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths):
     k_rows = spectra.sample_table(scene.spec_table, jnp.maximum(k_spec, 0), wl.lam)
     # reflectance mode: eta=1, k = 2 sqrt(r)/sqrt(1-r) (conductor_material.cu:73-78)
     r_clamped = jnp.clip(refl, 0.0, 0.9999)
-    k_from_r = 2.0 * jnp.sqrt(r_clamped) / jnp.sqrt(jnp.clip(1.0 - r_clamped, 1e-7, 1.0))
+    k_from_r = 2.0 * jnp.sqrt(jnp.maximum(r_clamped, 1e-12)) / jnp.sqrt(jnp.clip(1.0 - r_clamped, 1e-7, 1.0))
     eta_re = jnp.where(refl_mode[..., None], jnp.ones_like(eta_rows), eta_rows)
     eta_im = jnp.where(refl_mode[..., None], k_from_r, k_rows)
 

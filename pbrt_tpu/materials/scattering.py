@@ -13,7 +13,8 @@ from pbrt_tpu.sampling import warps
 
 
 def roughness_to_alpha(roughness):
-    return jnp.sqrt(jnp.maximum(roughness, 0.0))
+    # max with a tiny positive keeps d(sqrt)/dr finite at r == 0
+    return jnp.sqrt(jnp.maximum(roughness, 1e-8))
 
 
 def effectively_smooth(ax, ay):
@@ -21,19 +22,19 @@ def effectively_smooth(ax, ay):
 
 
 def tr_d(wm, ax, ay):
-    """GGX NDF D(wm)."""
-    tan2 = vm.tan2_theta(wm)
-    cos4 = sqr(vm.cos2_theta(wm))
-    e = tan2 * (sqr(vm.cos_phi(wm) / ax) + sqr(vm.sin_phi(wm) / ay))
-    d = 1.0 / (PI * ax * ay * jnp.maximum(cos4, 1e-16) * sqr(1.0 + e))
-    return jnp.where(jnp.isfinite(tan2), d, 0.0)
+    """GGX NDF D(wm), ellipsoid form: 1 / (pi ax ay (x^2/ax^2 + y^2/ay^2
+    + z^2)^2). Equivalent to the tan/phi decomposition but with bounded
+    partials near wm = z (the phi terms have exploding derivatives there,
+    which poisons d/d(roughness) even through unselected jnp.where lanes)."""
+    x, y, z = wm[..., 0], wm[..., 1], wm[..., 2]
+    k = sqr(x / ax) + sqr(y / ay) + sqr(z)
+    return 1.0 / (PI * ax * ay * jnp.maximum(sqr(k), 1e-16))
 
 
 def tr_lambda(w, ax, ay):
-    tan2 = vm.tan2_theta(w)
-    alpha2 = sqr(vm.cos_phi(w) * ax) + sqr(vm.sin_phi(w) * ay)
-    lam = (safe_sqrt(1.0 + alpha2 * tan2) - 1.0) / 2.0
-    return jnp.where(jnp.isfinite(tan2), lam, 0.0)
+    x, y, z = w[..., 0], w[..., 1], w[..., 2]
+    t = (sqr(ax * x) + sqr(ay * y)) / jnp.maximum(sqr(z), 1e-12)
+    return (safe_sqrt(1.0 + t) - 1.0) / 2.0
 
 
 def tr_g1(w, ax, ay):

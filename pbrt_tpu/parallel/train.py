@@ -1,0 +1,109 @@
+"""Differentiable rendering: inverse-rendering train step over the mesh.
+
+The reference has no gradient path at all (CUDA forward renderer only);
+this is the TPU-first extension planned in SURVEY.md §7 Phase 3/4: the
+radiance estimate is differentiable w.r.t. continuous scene parameters
+(light emission scale, material albedo sigmoid-coefficients, roughness),
+while discrete decisions (BVH hit ids, RR, light/lobe choice) contribute
+zero cosine — they are integer selects, so JAX detaches them naturally.
+
+The train step is a plain pjit program: the (samples x pixels) lane grid is
+sharded over the ("sp", "dp") mesh, the scene + params are replicated, and
+XLA inserts the psum over ICI for the parameter gradients.
+"""
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.cameras import perspective
+from pbrt_tpu.film import film as filmlib
+from pbrt_tpu.integrators import path as path_integrator
+from pbrt_tpu.sampling import samplers
+from pbrt_tpu.spectral import sampled, colorspace
+
+
+class DiffParams(NamedTuple):
+    """The continuously-differentiable subset of SceneArrays."""
+
+    lt_scale: jnp.ndarray     # (L,) light emission multipliers
+    mat_refl_c: jnp.ndarray   # (M,3) albedo sigmoid-polynomial coefficients
+    mat_urough: jnp.ndarray   # (M,)
+    mat_vrough: jnp.ndarray   # (M,)
+
+
+def get_params(scene) -> DiffParams:
+    return DiffParams(
+        lt_scale=scene.lt_scale,
+        mat_refl_c=scene.mat_refl_c,
+        mat_urough=scene.mat_urough,
+        mat_vrough=scene.mat_vrough,
+    )
+
+
+def apply_params(scene, p: DiffParams):
+    return scene._replace(
+        lt_scale=p.lt_scale,
+        mat_refl_c=p.mat_refl_c,
+        mat_urough=p.mat_urough,
+        mat_vrough=p.mat_vrough,
+    )
+
+
+def trace_flat(scene, pixel_ids, sample_ids, *, max_depth, res_x):
+    """Trace one camera path per lane -> per-lane sensor RGB (R, 3)."""
+    r = samplers.start_pixel_sample(pixel_ids, sample_ids)
+    r, u_pixel = samplers.get_2d(r)
+    px = (pixel_ids % res_x).astype(jnp.float32)
+    py = (pixel_ids // res_x).astype(jnp.float32)
+    p_film = jnp.stack([px, py], axis=-1) + u_pixel
+    r, u_lam = samplers.get_1d(r)
+    wl = sampled.sample_visible(u_lam)
+    rays = perspective.generate_rays(scene, p_film, jnp.zeros(p_film.shape))
+    L, wl_out = path_integrator.li(scene, rays, wl, r, max_depth)
+    rgb = filmlib.to_sensor_rgb(L, wl_out.lam, wl_out.pdf)
+    return jnp.where(jnp.isfinite(rgb), rgb, 0.0)
+
+
+def render_image_diff(scene, pixel_ids, sample_ids, *, max_depth, res_x, n_pixels):
+    """Differentiable low-spp render. pixel_ids/sample_ids: (S, R) lane grid
+    (each row covers the same pixels with a distinct sample index)."""
+    rgb = jax.vmap(
+        lambda pid, sid: trace_flat(scene, pid, sid, max_depth=max_depth, res_x=res_x)
+    )(pixel_ids, sample_ids)                      # (S, R, 3)
+    mean_rgb = rgb.mean(0)                        # (R, 3)
+    img = jnp.zeros((n_pixels, 3)).at[pixel_ids[0]].add(mean_rgb)
+    return colorspace.apply_matrix(colorspace.srgb().rgb_from_xyz, img)
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "res_x", "n_pixels"))
+def train_step(
+    params: DiffParams,
+    scene,
+    pixel_ids,
+    sample_ids,
+    target,
+    lr,
+    *,
+    max_depth,
+    res_x,
+    n_pixels,
+):
+    """One SGD step of inverse rendering against a target image.
+
+    Returns (new_params, loss). Sharding comes entirely from the operands:
+    put pixel_ids/sample_ids with a ("sp","dp") NamedSharding and everything
+    else replicated; XLA all-reduces the gradients.
+    """
+
+    def loss_fn(p):
+        sc = apply_params(scene, p)
+        img = render_image_diff(
+            sc, pixel_ids, sample_ids, max_depth=max_depth, res_x=res_x, n_pixels=n_pixels
+        )
+        return jnp.mean((img - target) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+    return new_params, loss

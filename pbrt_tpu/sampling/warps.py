@@ -26,7 +26,7 @@ def sample_uniform_disk_concentric(u):
 
 
 def sample_uniform_disk_polar(u):
-    r = jnp.sqrt(u[..., 0])
+    r = jnp.sqrt(jnp.maximum(u[..., 0], 1e-12))
     theta = 2.0 * PI * u[..., 1]
     return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
 
@@ -170,8 +170,8 @@ def sample_spherical_triangle(v0, v1, v2, p, u):
 
 def sample_linear(u, a, b):
     """Sample x in [0,1] with density proportional to lerp(x, a, b)."""
-    denom = a + jnp.sqrt(jnp.maximum((1.0 - u) * a * a + u * b * b, 0.0))
-    x = jnp.where(denom > 0.0, u * (a + b) / jnp.maximum(denom, 1e-30), u)
+    denom = a + jnp.sqrt(jnp.maximum((1.0 - u) * a * a + u * b * b, 1e-24))
+    x = jnp.where(denom > 0.0, u * (a + b) / jnp.maximum(denom, 1e-12), u)
     return jnp.minimum(x, 0.99999994)
 
 
@@ -197,7 +197,7 @@ def bilinear_pdf(p, w):
         + x * y * w[..., 3]
     )
     inside = (x >= 0) & (x <= 1) & (y >= 0) & (y <= 1)
-    return jnp.where(inside, jnp.where(s == 0.0, 1.0, 4.0 * interp / jnp.maximum(s, 1e-30)), 0.0)
+    return jnp.where(inside, jnp.where(s == 0.0, 1.0, 4.0 * interp / jnp.maximum(s, 1e-12)), 0.0)
 
 
 def invert_spherical_triangle_sample(v0, v1, v2, p, w):

@@ -198,15 +198,12 @@ class SceneBuilder:
         rgb = pd.get_rgb(name)
         if rgb is not None:
             from pbrt_tpu.spectral import rgb2spec
-            import jax.numpy as jnp
 
             s = 2.0 * float(np.max(rgb))
             if s == 0.0:
                 dense = np.zeros(cie.LAMBDA_RANGE)
                 return dense, cie.CIE_Y_INTEGRAL
-            c = np.asarray(
-                rgb2spec.rgb_to_coefficients(jnp.asarray(rgb / s, dtype=jnp.float32))
-            ).astype(np.float64)
+            c = rgb2spec.rgb_to_coefficients_np(rgb / s).astype(np.float64)
             lam = cie.lambdas()
             x = (c[0] * lam + c[1]) * lam + c[2]
             sig = 0.5 * x / np.sqrt(1.0 + x * x) + 0.5

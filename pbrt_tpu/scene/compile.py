@@ -161,9 +161,7 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
     def coeffs_of(rgb):
         if rgb is None:
             return np.zeros(3, f32)
-        return np.asarray(
-            rgb2spec.rgb_to_coefficients(jnp.asarray(np.clip(rgb, 0.0, 1.0), jnp.float32))
-        )
+        return rgb2spec.rgb_to_coefficients_np(np.clip(rgb, 0.0, 1.0))
 
     mat_refl_c = np.stack([coeffs_of(m.reflectance_rgb) for m in b.materials])
     mat_trans_c = np.stack([coeffs_of(m.transmittance_rgb) for m in b.materials])

@@ -1,0 +1,73 @@
+"""Built-in test scenes (no external files needed).
+
+The driver entry point, the benchmark, and the test-suite all need a scene
+that exercises every current material lane without reading from disk. The
+classic Cornell box dimensions are public-domain measurement data
+(cornell.graphics.cornell.edu); the .pbrt text below is authored here.
+
+Counterpart of the reference's bundled `example/cornell-box-specular.pbrt`
+(the only scene it ships).
+"""
+from pbrt_tpu.scene import builder as bd
+from pbrt_tpu.scene import lexer as lx
+from pbrt_tpu.scene.compile import compile_scene
+
+CORNELL_PBRT = """
+Integrator "path" "integer maxdepth" [5]
+Sampler "independent" "integer pixelsamples" [4]
+Film "rgb" "integer xresolution" [128] "integer yresolution" [128]
+    "string filename" ["cornell.png"]
+LookAt 278 273 -800   278 273 0   0 1 0
+Camera "perspective" "float fov" [38]
+
+WorldBegin
+
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [18.4 15.6 8.0]
+  Material "diffuse" "rgb reflectance" [0 0 0]
+  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point3 P" [213 548.7 227   343 548.7 227   343 548.7 332   213 548.7 332]
+AttributeEnd
+
+Material "diffuse" "rgb reflectance" [0.73 0.73 0.73]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point3 P" [552.8 0 0   0 0 0   0 0 559.2   549.6 0 559.2]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point3 P" [556 548.8 0   556 548.8 559.2   0 548.8 559.2   0 548.8 0]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point3 P" [549.6 0 559.2   0 0 559.2   0 548.8 559.2   556 548.8 559.2]
+
+Material "diffuse" "rgb reflectance" [0.12 0.45 0.15]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point3 P" [0 0 559.2   0 0 0   0 548.8 0   0 548.8 559.2]
+
+Material "diffuse" "rgb reflectance" [0.63 0.065 0.05]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point3 P" [552.8 0 0   549.6 0 559.2   556 548.8 559.2   556 548.8 0]
+
+AttributeBegin
+  Material "conductor" "float roughness" [0.005]
+  Translate 400 90 350
+  Shape "sphere" "float radius" [90]
+AttributeEnd
+
+AttributeBegin
+  Material "dielectric" "float eta" [1.5]
+  Translate 160 90 200
+  Shape "sphere" "float radius" [90]
+AttributeEnd
+"""
+
+
+def cornell_builder(res=128, spp=4):
+    b = bd.SceneBuilder()
+    b.parse_tokens(lx.tokenize(CORNELL_PBRT))
+    b.film["xresolution"] = b.film["yresolution"] = res
+    return b
+
+
+def cornell(res=128, spp=4, integrator=None):
+    """-> (SceneArrays, SceneMeta) for the built-in Cornell box."""
+    return compile_scene(
+        cornell_builder(res), spp_override=spp, integrator_override=integrator
+    )

@@ -196,6 +196,55 @@ def load_table():
     return d["z_nodes"], d["coeffs"]
 
 
+# ------------------------------------------------------------ numpy lookup
+
+
+def rgb_to_coefficients_np(rgb):
+    """Host-side (numpy) version of rgb_to_coefficients for the scene
+    compiler: eager jnp here would dispatch dozens of tiny ops (and the 3MB
+    table) through the TPU tunnel per call, taking seconds per material."""
+    z_nodes, coeffs = load_table()
+    rgb = np.clip(np.asarray(rgb, np.float32), 0.0, None)
+    single = rgb.ndim == 1
+    rgb = np.atleast_2d(rgb)
+
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = np.where(r > g, np.where(r > b, 0, 2), np.where(g > b, 1, 2))
+    z = np.take_along_axis(rgb, maxc[..., None], axis=-1)[..., 0]
+    zsafe = np.maximum(z, 1e-12)
+    x = np.take_along_axis(rgb, ((maxc + 1) % 3)[..., None], axis=-1)[..., 0] * (RES - 1) / zsafe
+    y = np.take_along_axis(rgb, ((maxc + 2) % 3)[..., None], axis=-1)[..., 0] * (RES - 1) / zsafe
+
+    xi = np.minimum(x.astype(np.int32), RES - 2)
+    yi = np.minimum(y.astype(np.int32), RES - 2)
+    zi = np.clip(np.searchsorted(z_nodes, z, side="left") - 1, 0, RES - 2)
+    dx = x - xi
+    dy = y - yi
+    dz = (z - z_nodes[zi]) / np.maximum(z_nodes[zi + 1] - z_nodes[zi], 1e-12)
+
+    def co(ddx, ddy, ddz):
+        return coeffs[maxc, zi + ddz, yi + ddy, xi + ddx]
+
+    def lerp(t, a, bb):
+        return (1.0 - t[..., None]) * a + t[..., None] * bb
+
+    c = lerp(
+        dz,
+        lerp(dy, lerp(dx, co(0, 0, 0), co(1, 0, 0)), lerp(dx, co(0, 1, 0), co(1, 1, 0))),
+        lerp(dy, lerp(dx, co(0, 0, 1), co(1, 0, 1)), lerp(dx, co(0, 1, 1), co(1, 1, 1))),
+    )
+    uniform = (r == g) & (g == b)
+    denom = np.sqrt(np.maximum(r * (1.0 - r), 1e-12))
+    c_uniform = np.stack([np.zeros_like(r), np.zeros_like(r), (r - 0.5) / denom], axis=-1)
+    c_uniform = np.where(
+        (r <= 0.0)[..., None],
+        np.array([0.0, 0.0, -1e30]),
+        np.where((r >= 1.0)[..., None], np.array([0.0, 0.0, 1e30]), c_uniform),
+    )
+    out = np.where(uniform[..., None], c_uniform, c).astype(np.float32)
+    return out[0] if single else out
+
+
 # --------------------------------------------------------------- jnp lookup
 
 
@@ -214,7 +263,7 @@ def rgb_to_coefficients(rgb, z_nodes=None, coeffs=None):
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     maxc = jnp.where(r > g, jnp.where(r > b, 0, 2), jnp.where(g > b, 1, 2))
     z = jnp.take_along_axis(rgb, maxc[..., None], axis=-1)[..., 0]
-    zsafe = jnp.maximum(z, 1e-30)
+    zsafe = jnp.maximum(z, 1e-12)
     x = jnp.take_along_axis(rgb, ((maxc + 1) % 3)[..., None], axis=-1)[..., 0] * (
         RES - 1
     ) / zsafe
@@ -228,7 +277,7 @@ def rgb_to_coefficients(rgb, z_nodes=None, coeffs=None):
 
     dx = x - xi
     dy = y - yi
-    dz = (z - z_nodes[zi]) / jnp.maximum(z_nodes[zi + 1] - z_nodes[zi], 1e-30)
+    dz = (z - z_nodes[zi]) / jnp.maximum(z_nodes[zi + 1] - z_nodes[zi], 1e-12)
 
     def co(ddx, ddy, ddz):
         return coeffs[maxc, zi + ddz, yi + ddy, xi + ddx]  # (..., 3)
@@ -244,7 +293,7 @@ def rgb_to_coefficients(rgb, z_nodes=None, coeffs=None):
 
     # Uniform rgb: exact constant spectrum (reference cu:389-392)
     uniform = (r == g) & (g == b)
-    denom = jnp.sqrt(jnp.maximum(r * (1.0 - r), 1e-30))
+    denom = jnp.sqrt(jnp.maximum(r * (1.0 - r), 1e-12))
     c_uniform = jnp.stack(
         [jnp.zeros_like(r), jnp.zeros_like(r), (r - 0.5) / denom], axis=-1
     )

@@ -4,6 +4,7 @@ TPU-native counterpart of reference util/math.h + util/float.h constants
 (reference: src/pbrt/util/math.h:7-28). Everything here is shape-polymorphic
 jnp code usable inside jit/vmap/pallas.
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,21 +31,56 @@ def sqr(x):
     return x * x
 
 
+@jax.custom_jvp
 def safe_sqrt(x):
     return jnp.sqrt(jnp.maximum(x, 0.0))
 
 
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    # sqrt's derivative blows up at 0; clamping it keeps one 0-cotangent
+    # masked lane from NaN-ing every gradient it is ever where()'d with
+    (x,), (t,) = primals, tangents
+    y = jnp.sqrt(jnp.maximum(x, 0.0))
+    return y, jnp.where(x > 1e-12, 0.5 / jnp.maximum(y, 1e-12), 0.0) * t
+
+
+@jax.custom_jvp
 def safe_acos(x):
     return jnp.arccos(jnp.clip(x, -1.0, 1.0))
 
 
+@safe_acos.defjvp
+def _safe_acos_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    d = -1.0 / jnp.sqrt(jnp.maximum(1.0 - x * x, 1e-12))
+    return jnp.arccos(jnp.clip(x, -1.0, 1.0)), jnp.where(jnp.abs(x) < 1.0, d, 0.0) * t
+
+
+@jax.custom_jvp
 def safe_asin(x):
     return jnp.arcsin(jnp.clip(x, -1.0, 1.0))
+
+
+@safe_asin.defjvp
+def _safe_asin_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    d = 1.0 / jnp.sqrt(jnp.maximum(1.0 - x * x, 1e-12))
+    return jnp.arcsin(jnp.clip(x, -1.0, 1.0)), jnp.where(jnp.abs(x) < 1.0, d, 0.0) * t
 
 
 def safe_div(a, b):
     """a/b with 0 where b == 0."""
     return jnp.where(b != 0.0, a / jnp.where(b == 0.0, 1.0, b), 0.0)
+
+
+def clamp_mag(b, eps):
+    """b pushed away from 0 to at least magnitude eps (sign-preserving;
+    exact 0 maps to +eps). Use as a divisor guard: unlike a `where(b==0)`
+    test, it also bounds 1/b and 1/b^2 so division VJPs can't overflow to
+    inf and then NaN a zero cotangent."""
+    mag = jnp.maximum(jnp.abs(b), eps)
+    return jnp.where(b < 0.0, -mag, mag)
 
 
 def lerp(t, a, b):
