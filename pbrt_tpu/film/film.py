@@ -61,7 +61,11 @@ def develop(film: Film, resolution, splat_scale=0.0):
     """-> (H, W, 3) linear output-RGB (reference rgb_film.cu:108-122 +
     output_rgb_from_sensor_rgb matrix)."""
     w, h = resolution
-    rgb = film.rgb_sum / jnp.maximum(film.weight_sum[:, None], 1e-9)
+    # divide by weight_sum when nonzero (rgb_film.cu:114-116); weights can be
+    # negative under mitchell, so guard magnitude, keep sign
+    ws = film.weight_sum[:, None]
+    safe = jnp.where(jnp.abs(ws) > 1e-8, ws, 1.0)
+    rgb = jnp.where(jnp.abs(ws) > 1e-8, film.rgb_sum / safe, film.rgb_sum)
     rgb = rgb + splat_scale * film.splat
     out = colorspace.apply_matrix(colorspace.srgb().rgb_from_xyz, rgb)
     return out.reshape(h, w, 3)

@@ -13,14 +13,14 @@ from pbrt_tpu.sampling import samplers, warps
 from pbrt_tpu.spectral import sampled, cie, spectra
 
 
-def ao_li(scene, rays, wl, r, max_depth):
+def ao_li(scene, rays, wl, r, max_depth, skind="independent", spp=0):
     """Cosine-weighted AO against the D65 illuminant
     (reference ambient_occlusion.cu: illuminant scaled by 1/CIE_Y_integral)."""
     R = rays.o.shape[0]
     hit = dispatch.intersect(scene, rays.o, rays.d, jnp.full((R,), INFINITY))
     ns = vm.face_forward(hit.ns, -rays.d)
 
-    r, u = samplers.get_2d(r)
+    r, u = samplers.get_2d(r, None, skind, spp)
     local = warps.sample_cosine_hemisphere(u)
     fx, fy, fz = vm.frame_from_z(ns)
     wi = vm.from_local(fx, fy, fz, local)
@@ -37,7 +37,7 @@ def ao_li(scene, rays, wl, r, max_depth):
     return L, wl
 
 
-def surface_normal_li(scene, rays, wl, r, max_depth):
+def surface_normal_li(scene, rays, wl, r, max_depth, skind="independent", spp=0):
     """Shading-normal debug view: rgb = softmax-ish |n| mapped to a flat
     spectrum (reference surface_normal.cu maps n -> color)."""
     R = rays.o.shape[0]

@@ -40,10 +40,7 @@ class PathState(NamedTuple):
     beta: jnp.ndarray       # (R,4)
     lam: jnp.ndarray        # (R,4)
     lam_pdf: jnp.ndarray    # (R,4)
-    rng_state_hi: jnp.ndarray
-    rng_state_lo: jnp.ndarray
-    rng_inc_hi: jnp.ndarray
-    rng_inc_lo: jnp.ndarray
+    smp: samplers.Sampler
     active: jnp.ndarray     # (R,)
     specular: jnp.ndarray   # (R,)
     depth: jnp.ndarray      # (R,) float (interface bounces cost 0.3)
@@ -51,24 +48,6 @@ class PathState(NamedTuple):
     prev_pdf: jnp.ndarray   # (R,)
     prev_p: jnp.ndarray     # (R,3)
     prev_ns: jnp.ndarray    # (R,3)
-
-
-def _rng(state: PathState):
-    from pbrt_tpu.sampling import rng as prng
-
-    return prng.Pcg32(
-        prng.U64(state.rng_state_hi, state.rng_state_lo),
-        prng.U64(state.rng_inc_hi, state.rng_inc_lo),
-    )
-
-
-def _store_rng(state: PathState, r):
-    return state._replace(
-        rng_state_hi=r.state.hi,
-        rng_state_lo=r.state.lo,
-        rng_inc_hi=r.inc.hi,
-        rng_inc_lo=r.inc.lo,
-    )
 
 
 def _pick_light(scene, u):
@@ -110,14 +89,14 @@ class BsdfCtx(NamedTuple):
     wl: sampled.Wavelengths
 
 
-def bounce_step(scene, state: PathState, regularize=False):
+def bounce_step(scene, state: PathState, regularize=False, skind="independent", spp=0):
     """One bounce for all lanes. Returns the updated PathState."""
-    r = _rng(state)
+    r = state.smp
     active = state.active
 
     # --- russian roulette (before intersection, reference loop head)
     rr_due = active & (state.depth >= state.rr_next)
-    r, u_rr = samplers.get_1d(r, rr_due)
+    r, u_rr = samplers.get_1d(r, rr_due, skind, spp)
     survive = jnp.minimum(jnp.max(state.beta, axis=-1), RR_CLAMP)
     killed = rr_due & (u_rr > survive)
     beta = jnp.where(
@@ -192,8 +171,8 @@ def bounce_step(scene, state: PathState, regularize=False):
     nee = shade & ~spec_only & (scene.lt_pmf.shape[0] > 0)
     # draws masked by `nee`: the reference only consumes these dimensions
     # when sample_Ld runs (non-specular bsdf), keeping streams aligned
-    r, u_l = samplers.get_1d(r, nee)
-    r, u_l2 = samplers.get_2d(r, nee)
+    r, u_l = samplers.get_1d(r, nee, skind, spp)
+    r, u_l2 = samplers.get_2d(r, nee, skind, spp)
     if scene.lt_pmf.shape[0] > 0:
         ld = sample_ld(
             scene,
@@ -206,8 +185,8 @@ def bounce_step(scene, state: PathState, regularize=False):
         L = jnp.where(nee[..., None], L + beta * ld, L)
 
     # --- BSDF sampling
-    r, uc = samplers.get_1d(r, shade)
-    r, u2 = samplers.get_2d(r, shade)
+    r, uc = samplers.get_1d(r, shade, skind, spp)
+    r, u2 = samplers.get_2d(r, shade, skind, spp)
     bs = materials.bsdf_sample(bsdf, hit.wo, uc, u2)
     cos_term = vm.absdot(bs.wi, hit.ns)
     beta_new = beta * bs.f * (cos_term / jnp.maximum(bs.pdf, 1e-20))[..., None]
@@ -231,10 +210,11 @@ def bounce_step(scene, state: PathState, regularize=False):
         prev_p=jnp.where(shade[..., None], hit.p, state.prev_p),
         prev_ns=jnp.where(shade[..., None], hit.ns, state.prev_ns),
     )
-    return _store_rng(state2, r)
+    return state2._replace(smp=r)
 
 
-def li(scene, rays, wl: sampled.Wavelengths, r, max_depth, regularize=False):
+def li(scene, rays, wl: sampled.Wavelengths, r, max_depth, regularize=False,
+       skind="independent", spp=0):
     """Radiance for a batch of camera rays. Returns (L (R,4), wl)."""
     R = rays.o.shape[0]
     state = PathState(
@@ -244,10 +224,7 @@ def li(scene, rays, wl: sampled.Wavelengths, r, max_depth, regularize=False):
         beta=jnp.ones((R, 4)),
         lam=wl.lam,
         lam_pdf=wl.pdf,
-        rng_state_hi=r.state.hi,
-        rng_state_lo=r.state.lo,
-        rng_inc_hi=r.inc.hi,
-        rng_inc_lo=r.inc.lo,
+        smp=r,
         active=jnp.ones((R,), bool),
         specular=jnp.zeros((R,), bool),
         depth=jnp.zeros((R,)),
@@ -258,7 +235,7 @@ def li(scene, rays, wl: sampled.Wavelengths, r, max_depth, regularize=False):
     )
 
     def body(i, s):
-        return bounce_step(scene, s, regularize)
+        return bounce_step(scene, s, regularize, skind, spp)
 
     # +4 slack bounces for RR-extended paths beyond max_depth would be wrong:
     # reference loops while depth < max_depth; depth += 1 per real bounce.

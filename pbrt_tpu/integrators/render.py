@@ -16,6 +16,7 @@ from pbrt_tpu.cameras import perspective
 from pbrt_tpu.film import film as filmlib
 from pbrt_tpu.integrators import path as path_integrator
 from pbrt_tpu.integrators import aov
+from pbrt_tpu.filters import filters
 from pbrt_tpu.sampling import samplers
 from pbrt_tpu.spectral import sampled
 
@@ -30,33 +31,41 @@ def _li_fn(integrator):
     raise ValueError(f"integrator {integrator!r} not implemented yet")
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth", "integrator", "use_lens", "res_x"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_depth", "integrator", "use_lens", "res_x", "sampler_kind", "spp",
+        "filter_kind",
+    ),
+)
 def render_sample_batch(
-    scene, film, pixel_ids, sample_idx, *, max_depth, integrator, use_lens, res_x
+    scene, film, pixel_ids, sample_idx, *, max_depth, integrator, use_lens, res_x,
+    sampler_kind="independent", spp=0, filter_kind="box",
 ):
     """Trace one sample for pixels pixel_ids (R,) and accumulate into film."""
     r = samplers.start_pixel_sample(pixel_ids, jnp.full_like(pixel_ids, sample_idx))
 
-    # camera sample: pixel jitter (2d), lambda (1d), lens (2d, only if lens)
-    # draw order matches reference evaluate_pixel_sample
-    # (base/megakernel_integrator.cu:17-37)
-    r, u_pixel = samplers.get_2d(r)
+    # camera sample: filter-sampled pixel offset (2d), lambda (1d), lens (2d,
+    # only if lens). Draw order matches reference evaluate_pixel_sample
+    # (base/megakernel_integrator.cu:17-37) + Sampler::get_camera_sample
+    # (base/sampler.cu:167-171): p_film = pixel + 0.5 + filter_sample.p.
+    r, u_pixel = samplers.get_pixel_2d(r, None, sampler_kind, spp)
+    fp, weight = filters.sample(scene.filt, filter_kind, u_pixel)
     px = (pixel_ids % res_x).astype(jnp.float32)
     py = (pixel_ids // res_x).astype(jnp.float32)
-    p_film = jnp.stack([px, py], axis=-1) + u_pixel
+    p_film = jnp.stack([px, py], axis=-1) + 0.5 + fp
 
-    r, u_lam = samplers.get_1d(r)
+    r, u_lam = samplers.get_1d(r, None, sampler_kind, spp)
     wl = sampled.sample_visible(u_lam)
 
     if use_lens:
-        r, u_lens = samplers.get_2d(r)
+        r, u_lens = samplers.get_2d(r, None, sampler_kind, spp)
     else:
         u_lens = jnp.zeros((pixel_ids.shape[0], 2))
 
     rays = perspective.generate_rays(scene, p_film, u_lens)
     li = _li_fn(integrator)
-    L, wl_out = li(scene, rays, wl, r, max_depth)
-    weight = jnp.ones(pixel_ids.shape[0])  # box filter
+    L, wl_out = li(scene, rays, wl, r, max_depth, skind=sampler_kind, spp=spp)
     return filmlib.add_samples(film, pixel_ids, L, wl_out.lam, wl_out.pdf, weight)
 
 
@@ -81,6 +90,9 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False):
                 integrator=meta.integrator,
                 use_lens=use_lens,
                 res_x=res_x,
+                sampler_kind=meta.sampler,
+                spp=meta.spp,
+                filter_kind=meta.filter_kind,
             )
         if verbose:
             film.rgb_sum.block_until_ready()

