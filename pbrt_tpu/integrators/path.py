@@ -155,7 +155,7 @@ def bounce_step(scene, state: PathState, regularize=False, skind="independent", 
 
     shade = active & (hit.mat >= 0)
 
-    bsdf, wl2 = materials.make_bsdf(scene, hit.mat, hit.ns, wl)
+    bsdf, wl2 = materials.make_bsdf(scene, hit.mat, hit.ns, wl, hit.uv)
     if regularize:
         ax, ay = sc.tr_regularize(bsdf.params.ax, bsdf.params.ay)
         bsdf = bsdf._replace(params=bsdf.params._replace(ax=ax, ay=ay))

@@ -23,10 +23,13 @@ class Bsdf(NamedTuple):
     fz: jnp.ndarray
 
 
-def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths):
+def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths, uv=None):
     """Gather material mat_idx (R,) and build lane BxdfParams + shading frame
     around ns. Returns (Bsdf, new_wavelengths) — dielectric dispersion may
     terminate secondary wavelengths (reference dielectric_material.cu:40-47).
+
+    uv (R,2): surface parameterization for texture-slot evaluation
+    (reference materials eval textures via TextureEvalContext).
     """
     mat_idx_c = jnp.maximum(mat_idx, 0)
     mtype = scene.mat_type[mat_idx_c]
@@ -44,11 +47,26 @@ def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths):
     # the specular branch still wins, but the unselected rough-lobe formulas
     # stay finite — otherwise their NaNs leak into d(loss)/d(roughness)
     # through jnp.where's 0*NaN cotangents.
-    ax = jnp.maximum(jnp.where(remap, sc.roughness_to_alpha(urough), urough), 1e-4)
-    ay = jnp.maximum(jnp.where(remap, sc.roughness_to_alpha(vrough), vrough), 1e-4)
-
     refl = jnp.clip(spectra.sigmoid_polynomial(refl_c, wl.lam), 0.0, 1.0)
     trans = jnp.clip(spectra.sigmoid_polynomial(trans_c, wl.lam), 0.0, 1.0)
+
+    # texture-slot overrides (node -1 keeps the constant columns)
+    if uv is not None and scene.tex.type.shape[0] > 0:
+        from pbrt_tpu.textures import textures as texlib
+
+        rt = scene.mat_refl_tex[mat_idx_c]
+        tt = scene.mat_trans_tex[mat_idx_c]
+        ut = scene.mat_urough_tex[mat_idx_c]
+        vt = scene.mat_vrough_tex[mat_idx_c]
+        refl_t = jnp.clip(texlib.eval_spectrum(scene.tex, rt, uv, ns, wl.lam), 0.0, 1.0)
+        trans_t = jnp.clip(texlib.eval_spectrum(scene.tex, tt, uv, ns, wl.lam), 0.0, 1.0)
+        refl = jnp.where((rt >= 0)[..., None], refl_t, refl)
+        trans = jnp.where((tt >= 0)[..., None], trans_t, trans)
+        urough = jnp.where(ut >= 0, texlib.eval_float(scene.tex, ut, uv), urough)
+        vrough = jnp.where(vt >= 0, texlib.eval_float(scene.tex, vt, uv), vrough)
+
+    ax = jnp.maximum(jnp.where(remap, sc.roughness_to_alpha(urough), urough), 1e-4)
+    ay = jnp.maximum(jnp.where(remap, sc.roughness_to_alpha(vrough), vrough), 1e-4)
 
     # conductor spectral IOR
     eta_rows = spectra.sample_table(scene.spec_table, jnp.maximum(eta_spec, 0), wl.lam)

@@ -86,6 +86,11 @@ class MaterialSpec:
     mix_amount: float = 0.5
     conductor_eta_spec: int = -1
     conductor_k_spec: int = -1
+    # texture slots (node index into SceneBuilder.textures, -1 = use constant)
+    refl_tex: int = -1
+    trans_tex: int = -1
+    urough_tex: int = -1
+    vrough_tex: int = -1
 
 
 @dataclass
@@ -149,6 +154,8 @@ class SceneBuilder:
         self.lights = []     # LightSpec
         self.float_textures = {}
         self.spectrum_textures = {}
+        self.textures = []           # list[TexSpec] flat node table
+        self._texture_index = {}     # (name, is_spectrum) -> node index
 
         # configs (reference defaults, SURVEY.md §8 'Observed runtime defaults')
         self.film = {"xresolution": 1920, "yresolution": 1080, "filename": "out.png"}
@@ -217,6 +224,116 @@ class SceneBuilder:
         dense = cie.illum_d65()
         return dense, cie.inner_product(dense, cie.Y())
 
+    # ------------------------------------------------------------ textures
+
+    def _const_tex(self, is_spectrum, rgb=None, value=0.0):
+        from pbrt_tpu.textures.textures import TexSpec
+
+        self.textures.append(
+            TexSpec(kind="constant", is_spectrum=is_spectrum, rgb=rgb, value=value)
+        )
+        return len(self.textures) - 1
+
+    def _child_tex(self, pd: ParameterDict, name, is_spectrum, default=None):
+        """Resolve a tex1/tex2/amount param that may be a texture name, an
+        rgb/float constant, or absent -> node index or -1."""
+        tn = pd.get_texture_name(name)
+        if tn is not None:
+            return self.texture_index(tn, is_spectrum)
+        if is_spectrum:
+            rgb = pd.get_rgb(name)
+            if rgb is not None:
+                return self._const_tex(True, rgb=np.asarray(rgb))
+            v = pd.get_float(name, None)
+            if v is not None:
+                return self._const_tex(True, rgb=np.array([v, v, v]))
+        else:
+            v = pd.get_float(name, None)
+            if v is not None:
+                return self._const_tex(False, value=float(v))
+        if default is not None:
+            if is_spectrum:
+                return self._const_tex(True, rgb=np.array([default] * 3))
+            return self._const_tex(False, value=float(default))
+        return -1
+
+    def texture_index(self, name, is_spectrum):
+        """Named texture -> node index in self.textures, building (and
+        resolving children) on first use. Counterpart of reference
+        base/spectrum_texture.cu:15-50 / base/float_texture.cu:11-24
+        factories."""
+        key = (name, is_spectrum)
+        if key in self._texture_index:
+            return self._texture_index[key]
+        table = self.spectrum_textures if is_spectrum else self.float_textures
+        if name not in table:
+            # pbrt allows float textures referenced from spectrum slots
+            other = self.float_textures if is_spectrum else self.spectrum_textures
+            if name in other:
+                table = other
+            else:
+                raise ValueError(f"unknown texture {name!r}")
+        tclass, pd = table[name]
+        from pbrt_tpu.textures.textures import TexSpec
+
+        spec = TexSpec(
+            kind=tclass,
+            is_spectrum=is_spectrum,
+            uscale=pd.get_float("uscale", 1.0),
+            vscale=pd.get_float("vscale", 1.0),
+            udelta=pd.get_float("udelta", 0.0),
+            vdelta=pd.get_float("vdelta", 0.0),
+        )
+        if tclass == "constant":
+            rgb = pd.get_rgb("value")
+            v = pd.get_float("value", 1.0)
+            if is_spectrum:
+                spec.rgb = np.asarray(rgb) if rgb is not None else np.array([v, v, v])
+            else:
+                spec.value = float(v)
+        elif tclass == "imagemap":
+            spec.filename = pd.get_string("filename")
+            spec.image_scale = pd.get_float("scale", 1.0)
+            spec.invert = pd.get_bool("invert", False)
+            spec.wrap = pd.get_string("wrap", "repeat")
+        elif tclass == "scale":
+            spec.tex1 = self._child_tex(pd, "tex", is_spectrum, default=1.0)
+            spec.amount_tex = self._child_tex(pd, "scale", False)
+            spec.amount = pd.get_float("scale", 1.0)
+        elif tclass == "mix":
+            spec.tex1 = self._child_tex(pd, "tex1", is_spectrum, default=0.0)
+            spec.tex2 = self._child_tex(pd, "tex2", is_spectrum, default=1.0)
+            spec.amount_tex = self._child_tex(pd, "amount", False)
+            spec.amount = pd.get_float("amount", 0.5)
+        elif tclass == "checkerboard":
+            spec.tex1 = self._child_tex(pd, "tex1", is_spectrum, default=0.0)
+            spec.tex2 = self._child_tex(pd, "tex2", is_spectrum, default=1.0)
+        elif tclass == "directionmix":
+            spec.tex1 = self._child_tex(pd, "tex1", is_spectrum, default=0.0)
+            spec.tex2 = self._child_tex(pd, "tex2", is_spectrum, default=1.0)
+            d = pd.get_vector3("dir", np.array([0.0, 1.0, 0.0]))
+            spec.dir = self.state.ctm[:3, :3] @ np.asarray(d)
+        else:
+            raise ValueError(f"texture class {tclass!r} not supported")
+        self.textures.append(spec)
+        idx = len(self.textures) - 1
+        self._texture_index[key] = idx
+        return idx
+
+    def _spectrum_tex_param(self, pd: ParameterDict, name):
+        """-> texture node index for a spectrum material param, or None if
+        the param is a constant (kept in the material table directly)."""
+        tn = pd.get_texture_name(name)
+        if tn is None:
+            return None
+        return self.texture_index(tn, True)
+
+    def _float_tex_param(self, pd: ParameterDict, name):
+        tn = pd.get_texture_name(name)
+        if tn is None:
+            return None
+        return self.texture_index(tn, False)
+
     # ------------------------------------------------------------ materials
 
     def make_material(self, mtype: str, pd: ParameterDict) -> int:
@@ -225,9 +342,17 @@ class SceneBuilder:
         if mtype in ("", "interface", "none"):
             return -1
         spec = None
+        def tex_or(pd_, name, spectrum=True):
+            t = (self._spectrum_tex_param if spectrum else self._float_tex_param)(pd_, name)
+            return -1 if t is None else t
+
         if mtype == "diffuse":
             rgb = pd.get_rgb("reflectance", np.array([0.5, 0.5, 0.5]))
-            spec = MaterialSpec(type=MAT_DIFFUSE, reflectance_rgb=np.asarray(rgb))
+            spec = MaterialSpec(
+                type=MAT_DIFFUSE,
+                reflectance_rgb=np.asarray(rgb),
+                refl_tex=tex_or(pd, "reflectance"),
+            )
         elif mtype == "conductor":
             eta_idx = self.resolve_spectrum(pd, "eta")
             k_idx = self.resolve_spectrum(pd, "k")
@@ -239,13 +364,17 @@ class SceneBuilder:
                 reg = named_spectra()
                 k_idx = self.add_spectrum_row(reg["metal-Cu-k"], key=("named", "metal-Cu-k"))
             rough = pd.get_float("roughness", 0.0)
+            rtex = tex_or(pd, "roughness", spectrum=False)
             spec = MaterialSpec(
                 type=MAT_CONDUCTOR,
                 reflectance_rgb=None if refl is None else np.asarray(refl),
+                refl_tex=tex_or(pd, "reflectance"),
                 eta_spec=-1 if eta_idx is None else eta_idx,
                 k_spec=-1 if k_idx is None else k_idx,
                 uroughness=pd.get_float("uroughness", rough),
                 vroughness=pd.get_float("vroughness", rough),
+                urough_tex=tex_or(pd, "uroughness", spectrum=False) if pd.get_texture_name("uroughness") else rtex,
+                vrough_tex=tex_or(pd, "vroughness", spectrum=False) if pd.get_texture_name("vroughness") else rtex,
                 remap_roughness=pd.get_bool("remaproughness", True),
             )
         elif mtype == "dielectric":
@@ -254,6 +383,7 @@ class SceneBuilder:
             if eta_f is None:
                 eta_idx = self.resolve_spectrum(pd, "eta")
             rough = pd.get_float("roughness", 0.0)
+            rtex = tex_or(pd, "roughness", spectrum=False)
             spec = MaterialSpec(
                 type=MAT_DIELECTRIC,
                 eta_float=1.5 if eta_f is None else float(eta_f),
@@ -261,6 +391,8 @@ class SceneBuilder:
                 eta_is_constant=eta_idx is None,
                 uroughness=pd.get_float("uroughness", rough),
                 vroughness=pd.get_float("vroughness", rough),
+                urough_tex=tex_or(pd, "uroughness", spectrum=False) if pd.get_texture_name("uroughness") else rtex,
+                vrough_tex=tex_or(pd, "vroughness", spectrum=False) if pd.get_texture_name("vroughness") else rtex,
                 remap_roughness=pd.get_bool("remaproughness", True),
             )
         elif mtype == "diffusetransmission":
@@ -270,12 +402,15 @@ class SceneBuilder:
                 transmittance_rgb=np.asarray(
                     pd.get_rgb("transmittance", np.array([0.25, 0.25, 0.25]))
                 ),
+                refl_tex=tex_or(pd, "reflectance"),
+                trans_tex=tex_or(pd, "transmittance"),
             )
         elif mtype == "coateddiffuse":
             rough = pd.get_float("roughness", 0.0)
             spec = MaterialSpec(
                 type=MAT_COATED_DIFFUSE,
                 reflectance_rgb=np.asarray(pd.get_rgb("reflectance", np.array([0.5, 0.5, 0.5]))),
+                refl_tex=tex_or(pd, "reflectance"),
                 uroughness=pd.get_float("uroughness", rough),
                 vroughness=pd.get_float("vroughness", rough),
                 remap_roughness=pd.get_bool("remaproughness", True),

@@ -17,6 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from pbrt_tpu.filters import filters as filterlib
+from pbrt_tpu.textures import textures as texlib
 from pbrt_tpu.geometry import transform as tf
 from pbrt_tpu.scene import builder as bd
 from pbrt_tpu.spectral import cie, rgb2spec
@@ -53,6 +54,13 @@ class SceneArrays(NamedTuple):
     mat_eta_spec: jnp.ndarray    # (M,) i32 row into spec_table or -1
     mat_k_spec: jnp.ndarray
     mat_refl_mode: jnp.ndarray   # (M,) bool: conductor uses reflectance mode
+    # material texture slots (-1 = constant from the columns above)
+    mat_refl_tex: jnp.ndarray    # (M,) i32 node into tex
+    mat_trans_tex: jnp.ndarray
+    mat_urough_tex: jnp.ndarray
+    mat_vrough_tex: jnp.ndarray
+    # texture node table + image atlas
+    tex: texlib.TexArrays
     # spectra
     spec_table: jnp.ndarray      # (NS, 471) f32
     # lights
@@ -178,6 +186,11 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
     mat_refl_mode = np.array(
         [m.type == bd.MAT_CONDUCTOR and m.reflectance_rgb is not None for m in b.materials]
     )
+    mat_refl_tex = np.array([m.refl_tex for m in b.materials], np.int32)
+    mat_trans_tex = np.array([m.trans_tex for m in b.materials], np.int32)
+    mat_urough_tex = np.array([m.urough_tex for m in b.materials], np.int32)
+    mat_vrough_tex = np.array([m.vrough_tex for m in b.materials], np.int32)
+    tex_arrays = texlib.build_tex_arrays(b.textures, getattr(b, "_search_dir", "."))
 
     # ---- spectra table
     NS = max(1, len(b.spectra_rows))
@@ -272,6 +285,11 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         mat_eta_spec=jnp.asarray(mat_eta_spec),
         mat_k_spec=jnp.asarray(mat_k_spec),
         mat_refl_mode=jnp.asarray(mat_refl_mode),
+        mat_refl_tex=jnp.asarray(mat_refl_tex),
+        mat_trans_tex=jnp.asarray(mat_trans_tex),
+        mat_urough_tex=jnp.asarray(mat_urough_tex),
+        mat_vrough_tex=jnp.asarray(mat_vrough_tex),
+        tex=tex_arrays,
         spec_table=jnp.asarray(spec_table),
         lt_type=jnp.asarray(lt_type),
         lt_emission=jnp.asarray(lt_emission),

@@ -44,6 +44,12 @@ class ParameterDict:
             return default
         t, v = self.params[name]
         if t not in types:
+            if t == "texture" and "texture" not in types:
+                # any scalar/spectrum parameter may be bound to a texture
+                # instead; value getters fall back to their default and the
+                # caller reads the texture via get_texture_name (mirrors the
+                # reference ParameterDictionary texture-vs-value resolution)
+                return default
             raise TypeError(f"parameter {name!r} has type {t}, wanted {types}")
         return v
 
@@ -77,6 +83,8 @@ class ParameterDict:
         return default if v is None else v[0]
 
     def get_texture_name(self, name, default=None):
+        if name in self.params and self.params[name][0] != "texture":
+            return default  # param bound to a value, not a texture
         v = self._get(name, {"texture"}, None)
         return default if v is None else v[0]
 

@@ -84,8 +84,11 @@ def sample_table(table, spec_idx, lam):
 def sigmoid(x):
     """Jakob–Hanika sigmoid (reference rgb_to_spectrum_data.cu:24-26),
     with the ±inf -> 0/1 limits of rgb_sigmoid_polynomial.h."""
-    s = 0.5 * x / jnp.sqrt(1.0 + x * x) + 0.5
-    return jnp.where(jnp.isposinf(x), 1.0, jnp.where(jnp.isneginf(x), 0.0, s))
+    # |x| beyond ~1e15 overflows x*x to inf in f32 (x/inf -> 0 -> s=0.5):
+    # saturate explicitly so the ±1e30 ideal-black/white coeffs hit 0/1
+    xc = jnp.clip(x, -1e15, 1e15)
+    s = 0.5 * xc / jnp.sqrt(1.0 + xc * xc) + 0.5
+    return jnp.where(x >= 1e15, 1.0, jnp.where(x <= -1e15, 0.0, s))
 
 
 def sigmoid_polynomial(c, lam):

@@ -280,7 +280,8 @@ def load_exr(path):
         block = data[off + 8 : off + 8 + dsize]
         nlines = min(lines_per_block, cy1 - y + 1)
         raw_len = bytes_per_line * nlines
-        if comp == 0:
+        if comp == 0 or dsize == raw_len:
+            # NONE, or a ZIP block stored raw because deflate didn't shrink it
             raw = block
         else:
             raw = zlib.decompress(block)

@@ -102,7 +102,7 @@ def build_tex_arrays(specs, scene_root):
     from pbrt_tpu.spectral import rgb2spec
     from pbrt_tpu.textures.image import load_image
 
-    NT = max(1, len(specs))
+    NT = len(specs)  # 0-length table = static 'no textures' marker
     f32 = np.float32
     ttype = np.zeros(NT, np.int32)
     coeffs = np.zeros((NT, 3), f32)
