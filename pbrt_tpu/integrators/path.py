@@ -89,7 +89,8 @@ class BsdfCtx(NamedTuple):
     wl: sampled.Wavelengths
 
 
-def bounce_step(scene, state: PathState, regularize=False, skind="independent", spp=0):
+def bounce_step(scene, state: PathState, regularize=False, skind="independent", spp=0,
+                env_ids=()):
     """One bounce for all lanes. Returns the updated PathState."""
     r = state.smp
     active = state.active
@@ -133,6 +134,18 @@ def bounce_step(scene, state: PathState, regularize=False, skind="independent", 
         L = jnp.where(
             (escaped & (n_uinf > 0))[..., None], L + beta * w_inf[..., None] * Le_inf, L
         )
+    # image-infinite lights (static id list; reference wavefront_path.cu
+    # escaped-ray loop over infinite_lights with per-light MIS)
+    for env_id in env_ids:
+        li_arr = jnp.full(state.o.shape[:1], env_id, jnp.int32)
+        Le_env = lights.env_le(scene, li_arr, state.d, wl.lam)
+        pdf_env = scene.lt_pmf[env_id] * lights.env_pdf_li(scene, li_arr, state.d)
+        w_env = jnp.where(
+            (state.depth == 0.0) | state.specular,
+            1.0,
+            power_heuristic(1.0, state.prev_pdf, 1.0, pdf_env),
+        )
+        L = jnp.where(escaped[..., None], L + beta * w_env[..., None] * Le_env, L)
     active = active & hit.valid
 
     # --- emissive surface hit (MIS)
@@ -214,7 +227,7 @@ def bounce_step(scene, state: PathState, regularize=False, skind="independent", 
 
 
 def li(scene, rays, wl: sampled.Wavelengths, r, max_depth, regularize=False,
-       skind="independent", spp=0):
+       skind="independent", spp=0, env_ids=()):
     """Radiance for a batch of camera rays. Returns (L (R,4), wl)."""
     R = rays.o.shape[0]
     state = PathState(
@@ -235,7 +248,7 @@ def li(scene, rays, wl: sampled.Wavelengths, r, max_depth, regularize=False,
     )
 
     def body(i, s):
-        return bounce_step(scene, s, regularize, skind, spp)
+        return bounce_step(scene, s, regularize, skind, spp, env_ids)
 
     # +4 slack bounces for RR-extended paths beyond max_depth would be wrong:
     # reference loops while depth < max_depth; depth += 1 per real bounce.

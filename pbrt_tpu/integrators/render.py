@@ -35,12 +35,12 @@ def _li_fn(integrator):
     jax.jit,
     static_argnames=(
         "max_depth", "integrator", "use_lens", "res_x", "sampler_kind", "spp",
-        "filter_kind",
+        "filter_kind", "env_ids",
     ),
 )
 def render_sample_batch(
     scene, film, pixel_ids, sample_idx, *, max_depth, integrator, use_lens, res_x,
-    sampler_kind="independent", spp=0, filter_kind="box",
+    sampler_kind="independent", spp=0, filter_kind="box", env_ids=(),
 ):
     """Trace one sample for pixels pixel_ids (R,) and accumulate into film."""
     r = samplers.start_pixel_sample(pixel_ids, jnp.full_like(pixel_ids, sample_idx))
@@ -65,7 +65,11 @@ def render_sample_batch(
 
     rays = perspective.generate_rays(scene, p_film, u_lens)
     li = _li_fn(integrator)
-    L, wl_out = li(scene, rays, wl, r, max_depth, skind=sampler_kind, spp=spp)
+    if integrator in ("path", "volpath", "megakernelpath"):
+        L, wl_out = li(scene, rays, wl, r, max_depth, skind=sampler_kind, spp=spp,
+                       env_ids=env_ids)
+    else:
+        L, wl_out = li(scene, rays, wl, r, max_depth, skind=sampler_kind, spp=spp)
     return filmlib.add_samples(film, pixel_ids, L, wl_out.lam, wl_out.pdf, weight)
 
 
@@ -93,6 +97,7 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False):
                 sampler_kind=meta.sampler,
                 spp=meta.spp,
                 filter_kind=meta.filter_kind,
+                env_ids=meta.env_light_ids,
             )
         if verbose:
             film.rgb_sum.block_until_ready()

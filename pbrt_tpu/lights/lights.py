@@ -128,6 +128,8 @@ def area_light_pdf_li(scene, light_idx, p_ref, ns_ref, wi, hit_p, hit_n):
 
     hit_p/hit_n: the intersection point and geometric normal on the light
     (we already have them from the ray cast, so no re-intersection needed)."""
+    if int(scene.tri_p0.shape[0]) == 0:
+        return jnp.zeros(p_ref.shape[:-1])
     tri = scene.lt_tri[jnp.maximum(light_idx, 0)]
     p0, p1, p2 = _tri_verts(scene, tri)
     area, _ = _tri_area_normal(p0, p1, p2)
@@ -164,12 +166,20 @@ def sample_li(scene, light_idx, p_ref, ns_ref, u2, lam, scene_radius):
     ltype = scene.lt_type[li]
     em = emission(scene, light_idx, lam)
 
-    # area
-    p_a, n_a, pdf_a, valid_a = sample_area_light_li(scene, light_idx, p_ref, ns_ref, u2)
-    wi_a = vm.normalize(p_a - p_ref)
-    L_a = jnp.where(
-        (vm.dot(n_a, -wi_a) > 0.0) | scene.lt_twosided[li], 1.0, 0.0
-    )[..., None] * em
+    # area (static skip when the scene has no triangle geometry)
+    if int(scene.tri_p0.shape[0]) > 0:
+        p_a, n_a, pdf_a, valid_a = sample_area_light_li(scene, light_idx, p_ref, ns_ref, u2)
+        wi_a = vm.normalize(p_a - p_ref)
+        L_a = jnp.where(
+            (vm.dot(n_a, -wi_a) > 0.0) | scene.lt_twosided[li], 1.0, 0.0
+        )[..., None] * em
+    else:
+        p_a = p_ref
+        n_a = jnp.zeros_like(p_ref).at[..., 2].set(1.0)
+        pdf_a = jnp.zeros(p_ref.shape[:-1])
+        valid_a = jnp.zeros(p_ref.shape[:-1], bool)
+        wi_a = n_a
+        L_a = jnp.zeros_like(em)
 
     # distant: wi = light direction, pseudo-position 2*radius away
     wi_d = scene.lt_direction[li]
@@ -194,30 +204,46 @@ def sample_li(scene, light_idx, p_ref, ns_ref, u2, lam, scene_radius):
     is_distant = ltype == bd.LIGHT_DISTANT
     is_uniform = ltype == bd.LIGHT_UNIFORM_INFINITE
     is_spot = ltype == bd.LIGHT_SPOT
+    is_env = ltype == bd.LIGHT_IMAGE_INFINITE
+
+    # image-infinite: alias-table env direction (only evaluated when the
+    # scene has env maps at all — static shape check keeps small scenes lean)
+    if int(scene.env_data.shape[0]) > 1:
+        L_e, wi_e, pdf_e, p_e = env_sample_li(scene, li, p_ref, u2, lam, scene_radius)
+    else:
+        L_e, wi_e, pdf_e, p_e = em, wi_u, pdf_u, p_u
 
     wi = jnp.where(
         is_area[..., None],
         wi_a,
-        jnp.where(is_distant[..., None], wi_d, jnp.where(is_spot[..., None], wi_s, wi_u)),
+        jnp.where(
+            is_distant[..., None],
+            wi_d,
+            jnp.where(is_spot[..., None], wi_s, jnp.where(is_env[..., None], wi_e, wi_u)),
+        ),
     )
     L = jnp.where(
         is_area[..., None],
         L_a,
-        jnp.where(is_spot[..., None], L_s, em),
+        jnp.where(is_spot[..., None], L_s, jnp.where(is_env[..., None], L_e, em)),
     )
-    pdf = jnp.where(is_area, pdf_a, jnp.where(is_uniform, pdf_u, 1.0))
+    pdf = jnp.where(
+        is_area, pdf_a, jnp.where(is_uniform, pdf_u, jnp.where(is_env, pdf_e, 1.0))
+    )
     p_light = jnp.where(
         is_area[..., None],
         p_a,
         jnp.where(
             is_spot[..., None],
             scene.lt_position[li],
-            jnp.where(is_distant[..., None], p_d, p_u),
+            jnp.where(
+                is_distant[..., None], p_d, jnp.where(is_env[..., None], p_e, p_u)
+            ),
         ),
     )
     valid = jnp.where(is_area, valid_a, True) & (light_idx >= 0) & (pdf > 0.0)
     is_delta = is_distant | is_spot
-    at_infinity = is_distant | is_uniform
+    at_infinity = is_distant | is_uniform | is_env
     return LightLiSample(
         L=L,
         wi=wi,
@@ -240,3 +266,129 @@ def infinite_le(scene, lam):
 
 def uniform_infinite_pdf_li():
     return warps.UNIFORM_SPHERE_PDF
+
+
+# --------------------------------------------------- image-infinite lights
+# (reference lights/image_infinite_light.{h,cu}: equal-area octahedral env
+# map with alias-table importance sampling)
+
+
+def _env_fetch(scene, li, px, py):
+    """Octahedral-wrap texel fetch from the env atlas
+    (gpu_image.cu:20-50 OctahedralSphere remap)."""
+    w = scene.lt_env_w[li]
+    h = scene.lt_env_h[li]
+    off = jnp.maximum(scene.lt_env_off[li], 0)
+    # mirror across edges
+    neg_x = px < 0
+    big_x = px >= w
+    px = jnp.where(neg_x, -px, jnp.where(big_x, 2 * w - 1 - px, px))
+    py = jnp.where(neg_x | big_x, h - 1 - py, py)
+    neg_y = py < 0
+    big_y = py >= h
+    py = jnp.where(neg_y, -py, jnp.where(big_y, 2 * h - 1 - py, py))
+    px = jnp.where(neg_y | big_y, w - 1 - px, px)
+    px = jnp.clip(px, 0, jnp.maximum(w - 1, 0))
+    py = jnp.clip(py, 0, jnp.maximum(h - 1, 0))
+    return scene.env_data[off + py * w + px]
+
+
+def env_bilerp_rgb(scene, li, uv):
+    """Bilinear env-map fetch at octahedral uv (R,2) -> rgb (R,3)."""
+    w = scene.lt_env_w[li].astype(jnp.float32)
+    h = scene.lt_env_h[li].astype(jnp.float32)
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    xi = jnp.floor(x).astype(jnp.int32)
+    yi = jnp.floor(y).astype(jnp.int32)
+    dx = (x - xi.astype(jnp.float32))[..., None]
+    dy = (y - yi.astype(jnp.float32))[..., None]
+    v00 = _env_fetch(scene, li, xi, yi)
+    v10 = _env_fetch(scene, li, xi + 1, yi)
+    v01 = _env_fetch(scene, li, xi, yi + 1)
+    v11 = _env_fetch(scene, li, xi + 1, yi + 1)
+    return ((1 - dx) * (1 - dy) * v00 + dx * (1 - dy) * v10
+            + (1 - dx) * dy * v01 + dx * dy * v11)
+
+
+def env_image_le(scene, li, uv, lam):
+    """rgb -> illuminant-uplifted spectral radiance * light scale
+    (ImageLe, image_infinite_light.cu:147-154)."""
+    from pbrt_tpu.spectral import rgb2spec, spectra, cie
+
+    rgb = jnp.clip(env_bilerp_rgb(scene, li, uv), 0.0, None)
+    m = jnp.max(rgb, axis=-1)
+    s = 2.0 * m
+    rgb_n = jnp.where(s[..., None] > 0, rgb / jnp.maximum(s[..., None], 1e-24), 0.0)
+    c = rgb2spec.rgb_to_coefficients(rgb_n)
+    sig = spectra.sigmoid_polynomial(c, lam)
+    illum = spectra.sample_dense(jnp.asarray(cie.illum_d65(), jnp.float32), lam)
+    return sig * s[..., None] * illum * scene.lt_scale[li][..., None]
+
+
+def env_le(scene, li, d_render, lam):
+    """Escaped-ray radiance for image-infinite light li (R,) given ray
+    direction (R,3) (le(), image_infinite_light.cu:88-94)."""
+    from pbrt_tpu.sampling import warps
+
+    w_light = vm.normalize(
+        jnp.einsum("rij,rj->ri", scene.lt_l_from_r[li], d_render)
+    )
+    uv = warps.equal_area_sphere_to_square(w_light)
+    return env_image_le(scene, li, uv, lam)
+
+
+def env_sample_li(scene, li, p_ref, u2, lam, scene_radius):
+    """Alias-table direction sample (sample_li, image_infinite_light.cu:96-114).
+    Returns (L, wi, pdf, p_light)."""
+    from pbrt_tpu.sampling import warps
+
+    w = scene.lt_env_w[li]
+    h = scene.lt_env_h[li]
+    off = jnp.maximum(scene.lt_env_off[li], 0)
+    n = jnp.maximum(w * h, 1)
+
+    # segment-aware alias sample (distribution/distributions.py logic inline
+    # because offsets vary per lane)
+    x = u2[..., 0] * n.astype(jnp.float32)
+    i = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n - 1)
+    frac = x - i.astype(jnp.float32)
+    qi = scene.env_q[off + i]
+    accept = frac < qi
+    texel = jnp.where(accept, i, scene.env_alias[off + i])
+    jx = jnp.where(accept, frac / jnp.maximum(qi, 1e-12),
+                   (frac - qi) / jnp.maximum(1.0 - qi, 1e-12))
+    jx = jnp.clip(jx, 0.0, 1.0 - 1e-7)
+    pmf = scene.env_pdf[off + texel]
+
+    tx = texel % jnp.maximum(w, 1)
+    ty = texel // jnp.maximum(w, 1)
+    uv = jnp.stack(
+        [(tx.astype(jnp.float32) + jx) / w.astype(jnp.float32),
+         (ty.astype(jnp.float32) + u2[..., 1]) / h.astype(jnp.float32)], -1
+    )
+    map_pdf = pmf * n.astype(jnp.float32)       # density in uv
+    pdf = map_pdf / (4.0 * jnp.pi)              # solid-angle density
+
+    w_light = warps.equal_area_square_to_sphere(uv)
+    wi = vm.normalize(jnp.einsum("rij,rj->ri", scene.lt_r_from_l[li], w_light))
+    L = env_image_le(scene, li, uv, lam)
+    p_light = p_ref + wi * (2.0 * scene_radius)
+    return L, wi, pdf, p_light
+
+
+def env_pdf_li(scene, li, w_render):
+    """pdf of sampling direction w via light li (pdf_li,
+    image_infinite_light.cu:134-141)."""
+    from pbrt_tpu.sampling import warps
+
+    w = scene.lt_env_w[li]
+    h = scene.lt_env_h[li]
+    off = jnp.maximum(scene.lt_env_off[li], 0)
+    n = jnp.maximum(w * h, 1)
+    w_light = vm.normalize(jnp.einsum("rij,rj->ri", scene.lt_l_from_r[li], w_render))
+    uv = warps.equal_area_sphere_to_square(w_light)
+    tx = jnp.clip((uv[..., 0] * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
+    ty = jnp.clip((uv[..., 1] * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
+    pmf = scene.env_pdf[off + ty * w + tx]
+    return pmf * n.astype(jnp.float32) / (4.0 * jnp.pi)

@@ -254,3 +254,48 @@ def spherical_triangle_pdf(v0, v1, v2, p, wi):
     c = vm.normalize(v2 - p)
     A = vm.spherical_triangle_area(a, b, c)
     return jnp.where(A <= 0.0, 0.0, 1.0 / jnp.maximum(A, 1e-12))
+
+
+# ---------------------------------------------------- equal-area octahedral
+# (reference util/sampling.cu:104-175, from Clarberg's SIMD (hemi)sphere map)
+
+
+def equal_area_square_to_sphere(p):
+    """p (...,2) in [0,1]^2 -> unit direction (...,3)
+    (EqualAreaSquareToSphere, sampling.cu:155-175)."""
+    u = 2.0 * p[..., 0] - 1.0
+    v = 2.0 * p[..., 1] - 1.0
+    up = jnp.abs(u)
+    vp = jnp.abs(v)
+    signed_dist = 1.0 - (up + vp)
+    d = jnp.abs(signed_dist)
+    r = 1.0 - d
+    phi = jnp.where(r == 0.0, 1.0, (vp - up) / jnp.maximum(r, 1e-12) + 1.0) * (PI / 4.0)
+    z = jnp.sign(signed_dist + jnp.where(signed_dist == 0, 1.0, 0.0)) * (1.0 - r * r)
+    cos_phi = jnp.where(u >= 0, jnp.cos(phi), -jnp.cos(phi))
+    sin_phi = jnp.where(v >= 0, jnp.sin(phi), -jnp.sin(phi))
+    s = r * jnp.sqrt(jnp.maximum(2.0 - r * r, 0.0))
+    return jnp.stack([cos_phi * s, sin_phi * s, z], axis=-1)
+
+
+def equal_area_sphere_to_square(dvec):
+    """unit direction (...,3) -> p (...,2) in [0,1]^2
+    (EqualAreaSphereToSquare, sampling.cu:104-150; exact atan instead of the
+    reference's minimax polynomial — same map, tighter)."""
+    x = jnp.abs(dvec[..., 0])
+    y = jnp.abs(dvec[..., 1])
+    z = jnp.abs(dvec[..., 2])
+    r = jnp.sqrt(jnp.maximum(1.0 - z, 0.0))
+    a = jnp.maximum(x, y)
+    b = jnp.minimum(x, y)
+    b = jnp.where(a == 0.0, 0.0, b / jnp.maximum(a, 1e-24))
+    phi = jnp.arctan(b) * (2.0 / PI)
+    phi = jnp.where(x < y, 1.0 - phi, phi)
+    v = phi * r
+    u = r - v
+    south = dvec[..., 2] < 0
+    u2 = jnp.where(south, 1.0 - v, u)
+    v2 = jnp.where(south, 1.0 - u, v)
+    u2 = jnp.where(dvec[..., 0] >= 0, u2, -u2)
+    v2 = jnp.where(dvec[..., 1] >= 0, v2, -v2)
+    return jnp.stack([0.5 * (u2 + 1.0), 0.5 * (v2 + 1.0)], axis=-1)

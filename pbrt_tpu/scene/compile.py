@@ -74,6 +74,16 @@ class SceneArrays(NamedTuple):
     lt_cos_start: jnp.ndarray    # (L,)
     lt_cos_end: jnp.ndarray
     lt_pmf: jnp.ndarray          # (L,) sampling pmf
+    # image-infinite lights: env atlas + flat alias tables (distribution/)
+    lt_env_off: jnp.ndarray      # (L,) i32 offset into env atlas (-1 none)
+    lt_env_w: jnp.ndarray        # (L,) i32
+    lt_env_h: jnp.ndarray        # (L,) i32
+    lt_l_from_r: jnp.ndarray     # (L,3,3) light-from-render rotation
+    lt_r_from_l: jnp.ndarray     # (L,3,3)
+    env_data: jnp.ndarray        # (TOTAL,3) f32 linear rgb
+    env_q: jnp.ndarray           # (TOTAL,) alias accept prob
+    env_alias: jnp.ndarray       # (TOTAL,) i32 alias target (segment-relative)
+    env_pdf: jnp.ndarray         # (TOTAL,) texel pmf within its light
     # pixel reconstruction filter (tabulated sampler; filters/filters.py)
     filt: filterlib.FilterTables
     # camera (render space)
@@ -102,6 +112,7 @@ class SceneMeta:
     filter: dict
     filter_kind: str = "mitchell"
     mutations_per_pixel: int = 100
+    env_light_ids: tuple = ()   # static indices of image-infinite lights
 
 
 def build_perspective_matrices(fov, resolution):
@@ -241,6 +252,40 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
             power[i] = np.pi * (2.0 if l.two_sided else 1.0) * area * le
         else:
             power[i] = le  # scene-radius scaling applied uniformly; fine for pmf
+    # ---- image-infinite env maps -> atlas + alias tables
+    from pbrt_tpu.distribution import distributions as dist
+
+    lt_env_off = np.full(L, -1, np.int32)
+    lt_env_w = np.zeros(L, np.int32)
+    lt_env_h = np.zeros(L, np.int32)
+    lt_l_from_r = np.tile(np.eye(3, dtype=f32), (max(L, 1), 1, 1))[:L]
+    lt_r_from_l = np.tile(np.eye(3, dtype=f32), (max(L, 1), 1, 1))[:L]
+    env_datas, env_qs, env_aliases, env_pdfs = [], [], [], []
+    env_total = 0
+    for i, l in enumerate(b.lights):
+        if l.type == bd.LIGHT_IMAGE_INFINITE:
+            img = np.asarray(l.image, f32)
+            h_i, w_i, _ = img.shape
+            lt_env_off[i] = env_total
+            lt_env_w[i] = w_i
+            lt_env_h[i] = h_i
+            lt_r_from_l[i] = np.asarray(l.render_from_light)[:3, :3]
+            lt_l_from_r[i] = np.asarray(l.light_from_render)[:3, :3]
+            lum = 0.2126 * img[..., 0] + 0.7152 * img[..., 1] + 0.0722 * img[..., 2]
+            q, alias, pdf = dist.build_env_distribution(lum)
+            env_datas.append(img.reshape(-1, 3))
+            env_qs.append(q)
+            env_aliases.append(alias)
+            env_pdfs.append(pdf)
+            env_total += h_i * w_i
+            # power for the light sampler pmf ~ scale * mean luminance
+            power[i] = float(lum.mean()) * l.scale * np.pi
+    if not env_datas:
+        env_datas = [np.zeros((1, 3), f32)]
+        env_qs = [np.ones(1, f32)]
+        env_aliases = [np.zeros(1, np.int32)]
+        env_pdfs = [np.ones(1, f32)]
+
     if power.sum() <= 0:
         power = np.ones(L)
     lt_pmf = (power / power.sum()).astype(f32) if L else np.zeros((0,), f32)
@@ -301,6 +346,15 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         lt_cos_start=jnp.asarray(lt_cos_start),
         lt_cos_end=jnp.asarray(lt_cos_end),
         lt_pmf=jnp.asarray(lt_pmf),
+        lt_env_off=jnp.asarray(lt_env_off),
+        lt_env_w=jnp.asarray(lt_env_w),
+        lt_env_h=jnp.asarray(lt_env_h),
+        lt_l_from_r=jnp.asarray(lt_l_from_r, jnp.float32),
+        lt_r_from_l=jnp.asarray(lt_r_from_l, jnp.float32),
+        env_data=jnp.asarray(np.concatenate(env_datas)),
+        env_q=jnp.asarray(np.concatenate(env_qs)),
+        env_alias=jnp.asarray(np.concatenate(env_aliases)),
+        env_pdf=jnp.asarray(np.concatenate(env_pdfs)),
         camera_from_raster=jnp.asarray(camera_from_raster, jnp.float32),
         render_from_camera=jnp.asarray(render_from_camera, jnp.float32),
         camera_lens_radius=jnp.asarray(b.camera.get("lensradius", 0.0), jnp.float32),
@@ -325,6 +379,9 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         n_lights=L,
         filter=filter_params,
         filter_kind=filter_kind,
+        env_light_ids=tuple(
+            i for i, l in enumerate(b.lights) if l.type == bd.LIGHT_IMAGE_INFINITE
+        ),
         mutations_per_pixel=b.integrator.get("mutations", 100),
     )
     return arrays, meta
