@@ -25,6 +25,8 @@ class SceneHit(NamedTuple):
     uv: jnp.ndarray      # (R,2)
     mat: jnp.ndarray     # (R,) i32 material (-1 interface)
     light: jnp.ndarray   # (R,) i32 area light (-1 none)
+    med_in: jnp.ndarray  # (R,) i32 interior medium (-1 vacuum)
+    med_out: jnp.ndarray  # (R,) i32 exterior medium
     wo: jnp.ndarray      # (R,3)
 
 
@@ -77,6 +79,7 @@ def intersect(scene, o, d, t_max) -> SceneHit:
         )
         mat_t = scene.tri_mat[tri]
         light_t = scene.tri_light[tri]
+        med_t = scene.tri_med[tri]
     else:
         p_t = jnp.zeros((R, 3))
         ng_adj = jnp.zeros((R, 3))
@@ -84,6 +87,7 @@ def intersect(scene, o, d, t_max) -> SceneHit:
         uv_t = jnp.zeros((R, 2))
         mat_t = jnp.full((R,), -1, jnp.int32)
         light_t = jnp.full((R,), -1, jnp.int32)
+        med_t = jnp.full((R, 2), -1, jnp.int32)
 
     if have_sph:
         sph = jnp.maximum(idx_s, 0)
@@ -97,8 +101,10 @@ def intersect(scene, o, d, t_max) -> SceneHit:
         uv = jnp.where(use_sphere[..., None], uv_s, uv_t)
         mat = jnp.where(use_sphere, mat_s, mat_t)
         light = jnp.where(use_sphere, light_s, light_t)
+        med = jnp.where(use_sphere[..., None], scene.sph_med[sph], med_t)
     else:
         p_hit, ng, ns, uv, mat, light = p_t, ng_adj, ns_t, uv_t, mat_t, light_t
+        med = med_t
 
     # Sanitize miss lanes: a huge/inf position (t = "INFINITY" * d) would
     # poison reverse-mode gradients downstream — a zero cotangent through a
@@ -114,6 +120,8 @@ def intersect(scene, o, d, t_max) -> SceneHit:
         uv=jnp.where(valid[..., None], uv, 0.0),
         mat=jnp.where(valid, mat, -1),
         light=jnp.where(valid, light, -1),
+        med_in=jnp.where(valid, med[..., 0], -1),
+        med_out=jnp.where(valid, med[..., 1], -1),
         wo=-d,
     )
 

@@ -35,12 +35,13 @@ def _li_fn(integrator):
     jax.jit,
     static_argnames=(
         "max_depth", "integrator", "use_lens", "res_x", "sampler_kind", "spp",
-        "filter_kind", "env_ids",
+        "filter_kind", "env_ids", "volumetric",
     ),
 )
 def render_sample_batch(
     scene, film, pixel_ids, sample_idx, *, max_depth, integrator, use_lens, res_x,
     sampler_kind="independent", spp=0, filter_kind="box", env_ids=(),
+    volumetric=False,
 ):
     """Trace one sample for pixels pixel_ids (R,) and accumulate into film."""
     r = samplers.start_pixel_sample(pixel_ids, jnp.full_like(pixel_ids, sample_idx))
@@ -67,7 +68,8 @@ def render_sample_batch(
     li = _li_fn(integrator)
     if integrator in ("path", "volpath", "megakernelpath"):
         L, wl_out = li(scene, rays, wl, r, max_depth, skind=sampler_kind, spp=spp,
-                       env_ids=env_ids)
+                       env_ids=env_ids, volumetric=volumetric,
+                       camera_medium=scene.camera_medium)
     else:
         L, wl_out = li(scene, rays, wl, r, max_depth, skind=sampler_kind, spp=spp)
     return filmlib.add_samples(film, pixel_ids, L, wl_out.lam, wl_out.pdf, weight)
@@ -98,6 +100,7 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False):
                 spp=meta.spp,
                 filter_kind=meta.filter_kind,
                 env_ids=meta.env_light_ids,
+                volumetric=meta.volumetric,
             )
         if verbose:
             film.rgb_sum.block_until_ready()

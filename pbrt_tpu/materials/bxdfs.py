@@ -29,6 +29,8 @@ K_DIFFUSE = 0
 K_CONDUCTOR = 1
 K_DIELECTRIC = 2
 K_DIFF_TRANS = 3
+K_COATED_DIFFUSE = 4   # layered: dielectric over diffuse (materials/layered.py)
+K_COATED_CONDUCTOR = 5  # layered: dielectric over conductor
 
 # flags (reference bxdfs/bxdf_util.h BxDFFlags)
 F_REFLECTION = 1
@@ -132,8 +134,9 @@ def f(p: BxdfParams, wo, wi):
     return jnp.where(degen[..., None], 0.0, out)
 
 
-def pdf(p: BxdfParams, wo, wi):
-    """(R,) solid-angle pdf of sample() for non-specular lobes."""
+def pdf(p: BxdfParams, wo, wi, allow_refl=True, allow_trans=True):
+    """(R,) solid-angle pdf of sample() for non-specular lobes.
+    allow_* restrict the dielectric lobe choice (BxDFReflTransFlags)."""
     cos_i = wi[..., 2]
     cos_o = wo[..., 2]
     same = _same_hemisphere(wo, wi)
@@ -165,8 +168,8 @@ def pdf(p: BxdfParams, wo, wi):
     wm_dn = jnp.where((wm_dn[..., 2] < 0.0)[..., None], -wm_dn, wm_dn)
     backfacing = (vm.dot(wm_dn, wi) * cos_i < 0.0) | (vm.dot(wm_dn, wo) * cos_o < 0.0)
     Fd, _, _ = sc.fr_dielectric(vm.dot(wo, wm_dn), p.eta)
-    R = Fd
-    Tt = 1.0 - R
+    R = Fd if allow_refl else jnp.zeros_like(Fd)
+    Tt = (1.0 - Fd) if allow_trans else jnp.zeros_like(Fd)
     tot_d = jnp.maximum(R + Tt, 1e-12)
     pdf_d_r = sc.tr_pdf(wo, wm_dn, p.ax, p.ay) / jnp.maximum(
         4.0 * vm.absdot(wo, wm_dn), 1e-12
@@ -186,14 +189,22 @@ def pdf(p: BxdfParams, wo, wi):
             jnp.where(p.kind == K_DIELECTRIC, pdf_diel, pdf_dt),
         ),
     )
+    if not allow_refl:
+        out = jnp.where(p.kind == K_DIELECTRIC, out, 0.0)
     return jnp.where((cos_o == 0.0) | (cos_i == 0.0), 0.0, out)
 
 
 # ------------------------------------------------------------------- sample
 
 
-def sample(p: BxdfParams, wo, uc, u2):
+def sample(p: BxdfParams, wo, uc, u2, allow_refl=True, allow_trans=True,
+           mode_radiance=True):
     """Sample an outgoing direction. uc: (R,) lobe choice; u2: (R,2).
+
+    allow_refl/allow_trans restrict the dielectric's lobe choice like the
+    reference BxDFReflTransFlags (bxdf_util.h) — used by the layered engine
+    to force entry/exit transmission. Reflection-only kinds (diffuse,
+    conductor) become invalid under allow_refl=False.
 
     Returns BSDFSample; for specular events pdf=1 and flags has F_SPECULAR.
     """
@@ -246,15 +257,17 @@ def sample(p: BxdfParams, wo, uc, u2):
     # ---- dielectric
     # smooth case
     Fsd, _, _ = sc.fr_dielectric(cos_o, p.eta)
-    Rs = Fsd
-    Ts = 1.0 - Rs
+    Rs = Fsd if allow_refl else jnp.zeros_like(Fsd)
+    Ts = (1.0 - Fsd) if allow_trans else jnp.zeros_like(Fsd)
     choose_refl_s = uc < Rs / jnp.maximum(Rs + Ts, 1e-12)
     wi_d_refl = wi_spec
-    f_d_refl = Rs / jnp.maximum(vm.abs_cos_theta(wi_spec), 1e-9)
+    f_d_refl = Fsd / jnp.maximum(vm.abs_cos_theta(wi_spec), 1e-9)
     pdf_d_refl = Rs / jnp.maximum(Rs + Ts, 1e-12)
     n_local = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wo.shape)
     wt, refr_valid, etap_s = sc.refract(wo, n_local, p.eta)
-    f_d_trans = Ts / jnp.maximum(vm.abs_cos_theta(wt), 1e-9) / sqr(etap_s)
+    f_d_trans = (1.0 - Fsd) / jnp.maximum(vm.abs_cos_theta(wt), 1e-9)
+    if mode_radiance:  # radiance transport: 1/eta^2 radiance scaling
+        f_d_trans = f_d_trans / sqr(etap_s)
     pdf_d_trans = Ts / jnp.maximum(Rs + Ts, 1e-12)
     wi_d_smooth = jnp.where(choose_refl_s[..., None], wi_d_refl, wt)
     f_d_smooth = jnp.where(choose_refl_s, f_d_refl, f_d_trans)
@@ -267,14 +280,14 @@ def sample(p: BxdfParams, wo, uc, u2):
 
     # rough case: sample wm, Fresnel split, reflect/refract about wm
     Frd, _, _ = sc.fr_dielectric(vm.dot(wo, wm), p.eta)
-    Rr = Frd
-    Tr = 1.0 - Rr
+    Rr = Frd if allow_refl else jnp.zeros_like(Frd)
+    Tr = (1.0 - Frd) if allow_trans else jnp.zeros_like(Frd)
     choose_refl_r = uc < Rr / jnp.maximum(Rr + Tr, 1e-12)
     wi_r_refl = sc.reflect(wo, wm)
     same_rr = _same_hemisphere(wo, wi_r_refl)
     D = sc.tr_d(wm, p.ax, p.ay)
     G_r = sc.tr_g(wo, wi_r_refl, p.ax, p.ay)
-    f_r_refl = D * G_r * Rr / jnp.maximum(
+    f_r_refl = D * G_r * Frd / jnp.maximum(
         4.0 * jnp.abs(cos_o * wi_r_refl[..., 2]), 1e-12
     )
     pdf_r_refl = sc.tr_pdf(wo, wm, p.ax, p.ay) / jnp.maximum(
@@ -287,14 +300,15 @@ def sample(p: BxdfParams, wo, uc, u2):
     G_t = sc.tr_g(wo, wt_r, p.ax, p.ay)
     f_r_trans = (
         D
-        * Tr
+        * (1.0 - Frd)
         * G_t
         * jnp.abs(
             vm.dot(wt_r, wm) * vm.dot(wo, wm)
             / jnp.maximum(jnp.abs(cos_i_t * cos_o) * denom_t, 1e-12)
         )
-        / sqr(etap_r)
     )
+    if mode_radiance:
+        f_r_trans = f_r_trans / sqr(etap_r)
     dwm_dwi = vm.absdot(wt_r, wm) / jnp.maximum(denom_t, 1e-12)
     pdf_r_trans = sc.tr_pdf(wo, wm, p.ax, p.ay) * dwm_dwi * (
         Tr / jnp.maximum(Rr + Tr, 1e-12)
@@ -366,6 +380,11 @@ def sample(p: BxdfParams, wo, uc, u2):
             jnp.where(kind == K_DIELECTRIC, valid_diel, cos_o != 0.0),
         ),
     )
+    if not allow_refl:
+        # reflection-only kinds cannot produce transmission samples
+        valid &= kind == K_DIELECTRIC
+    if not allow_trans:
+        pass  # all kinds can reflect
     eta_event = jnp.where(kind == K_DIELECTRIC, eta_diel, 1.0)
     valid &= pdf_out > 0.0
     return BSDFSample(f=f_out, wi=wi, pdf=pdf_out, flags=flags, eta=eta_event, valid=valid)

@@ -15,12 +15,35 @@ from pbrt_tpu.scene import builder as bd
 
 
 class Bsdf(NamedTuple):
-    """Shading frame + per-lane bxdf parameters."""
+    """Shading frame + per-lane bxdf parameters (+ layered-coat params when
+    the scene contains coated materials; None otherwise — a static pytree
+    distinction, so plain scenes compile none of the layered code)."""
 
     params: bxdfs.BxdfParams
     fx: jnp.ndarray  # frame axes (R,3)
     fy: jnp.ndarray
     fz: jnp.ndarray
+    lay: object = None  # layered.LayeredParams or None
+
+
+def resolve_mix(scene, mat_idx, p, wo):
+    """Stochastically resolve mix materials to a concrete material
+    (reference base/interaction.cu:49-52: u = hash_float(pi, wo);
+    mix_material.cu:18-21: u < amount ? m1 : m2)."""
+    if int(scene.mix_marker.shape[0]) == 0:
+        return mat_idx
+    import jax
+
+    from pbrt_tpu.sampling import rng as prng
+
+    m = jnp.maximum(mat_idx, 0)
+    is_mix = scene.mat_type[m] == bd.MAT_MIX
+    bits = [jax.lax.bitcast_convert_type(p[..., i], jnp.uint32) for i in range(3)]
+    bits += [jax.lax.bitcast_convert_type(wo[..., i], jnp.uint32) for i in range(3)]
+    h = prng.murmur64a_u32_words(bits)
+    u = h.lo.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+    chosen = jnp.where(u < scene.mat_mix_amount[m], scene.mat_mix_m1[m], scene.mat_mix_m2[m])
+    return jnp.where(is_mix & (mat_idx >= 0), chosen, mat_idx)
 
 
 def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths, uv=None):
@@ -97,7 +120,19 @@ def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths, uv=None):
         jnp.where(
             mtype == bd.MAT_CONDUCTOR,
             bxdfs.K_CONDUCTOR,
-            jnp.where(mtype == bd.MAT_DIELECTRIC, bxdfs.K_DIELECTRIC, bxdfs.K_DIFF_TRANS),
+            jnp.where(
+                mtype == bd.MAT_DIELECTRIC,
+                bxdfs.K_DIELECTRIC,
+                jnp.where(
+                    mtype == bd.MAT_COATED_DIFFUSE,
+                    bxdfs.K_COATED_DIFFUSE,
+                    jnp.where(
+                        mtype == bd.MAT_COATED_CONDUCTOR,
+                        bxdfs.K_COATED_CONDUCTOR,
+                        bxdfs.K_DIFF_TRANS,
+                    ),
+                ),
+            ),
         ),
     ).astype(jnp.int32)
 
@@ -111,24 +146,101 @@ def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths, uv=None):
         ax=ax,
         ay=ay,
     )
+
+    lay = None
+    if int(scene.lay_marker.shape[0]) > 0:
+        from pbrt_tpu.materials import layered
+
+        # top interface: smooth/rough dielectric with the coat's eta +
+        # interface roughness (the material's u/v roughness columns)
+        top = bxdfs.BxdfParams(
+            kind=jnp.full_like(kind, bxdfs.K_DIELECTRIC),
+            refl=refl,
+            trans=trans,
+            eta_re=eta_re,
+            eta_im=eta_im,
+            eta=scene.mat_ieta[mat_idx_c],
+            ax=ax,
+            ay=ay,
+        )
+        # bottom: diffuse (reflectance) or conductor (eta/k + crough)
+        is_cc = mtype == bd.MAT_COATED_CONDUCTOR
+        cax = jnp.maximum(
+            jnp.where(remap, sc.roughness_to_alpha(scene.mat_crough_u[mat_idx_c]),
+                      scene.mat_crough_u[mat_idx_c]), 1e-4)
+        cay = jnp.maximum(
+            jnp.where(remap, sc.roughness_to_alpha(scene.mat_crough_v[mat_idx_c]),
+                      scene.mat_crough_v[mat_idx_c]), 1e-4)
+        bottom = bxdfs.BxdfParams(
+            kind=jnp.where(is_cc, bxdfs.K_CONDUCTOR, bxdfs.K_DIFFUSE).astype(jnp.int32),
+            refl=refl,
+            trans=trans,
+            eta_re=eta_rows,
+            eta_im=k_rows,
+            eta=eta_d,
+            ax=cax,
+            ay=cay,
+        )
+        albedo = jnp.clip(
+            spectra.sigmoid_polynomial(scene.mat_albedo_c[mat_idx_c], wl.lam), 0.0, 1.0
+        )
+        lay = layered.LayeredParams(
+            top=top,
+            bottom=bottom,
+            thickness=scene.mat_thickness[mat_idx_c],
+            g=scene.mat_lay_g[mat_idx_c],
+            albedo=albedo,
+            max_depth=10,
+            n_samples=1,
+        )
+
     fx, fy, fz = vm.frame_from_z(ns)
-    return Bsdf(params=params, fx=fx, fy=fy, fz=fz), new_wl
+    return Bsdf(params=params, fx=fx, fy=fy, fz=fz, lay=lay), new_wl
+
+
+def _is_coated(kind):
+    return (kind == bxdfs.K_COATED_DIFFUSE) | (kind == bxdfs.K_COATED_CONDUCTOR)
 
 
 def bsdf_f(b: Bsdf, wo_w, wi_w):
     wo = vm.to_local(b.fx, b.fy, b.fz, wo_w)
     wi = vm.to_local(b.fx, b.fy, b.fz, wi_w)
-    return bxdfs.f(b.params, wo, wi)
+    out = bxdfs.f(b.params, wo, wi)
+    if b.lay is not None:
+        from pbrt_tpu.materials import layered
+
+        f_lay = layered.layered_f(b.lay, wo, wi)
+        out = jnp.where(_is_coated(b.params.kind)[..., None], f_lay, out)
+    return out
 
 
 def bsdf_pdf(b: Bsdf, wo_w, wi_w):
     wo = vm.to_local(b.fx, b.fy, b.fz, wo_w)
     wi = vm.to_local(b.fx, b.fy, b.fz, wi_w)
-    return bxdfs.pdf(b.params, wo, wi)
+    out = bxdfs.pdf(b.params, wo, wi)
+    if b.lay is not None:
+        from pbrt_tpu.materials import layered
+
+        p_lay = layered.layered_pdf(b.lay, wo, wi)
+        out = jnp.where(_is_coated(b.params.kind), p_lay, out)
+    return out
 
 
 def bsdf_sample(b: Bsdf, wo_w, uc, u2):
     wo = vm.to_local(b.fx, b.fy, b.fz, wo_w)
     s = bxdfs.sample(b.params, wo, uc, u2)
+    if b.lay is not None:
+        from pbrt_tpu.materials import layered
+
+        s_lay = layered.layered_sample(b.lay, wo, uc, u2)
+        coat = _is_coated(b.params.kind)
+        s = bxdfs.BSDFSample(
+            f=jnp.where(coat[..., None], s_lay.f, s.f),
+            wi=jnp.where(coat[..., None], s_lay.wi, s.wi),
+            pdf=jnp.where(coat, s_lay.pdf, s.pdf),
+            flags=jnp.where(coat, s_lay.flags, s.flags),
+            eta=jnp.where(coat, s_lay.eta, s.eta),
+            valid=jnp.where(coat, s_lay.valid, s.valid),
+        )
     wi_w = vm.from_local(b.fx, b.fy, b.fz, s.wi)
     return s._replace(wi=wi_w)

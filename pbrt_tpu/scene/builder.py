@@ -86,6 +86,8 @@ class MaterialSpec:
     mix_amount: float = 0.5
     conductor_eta_spec: int = -1
     conductor_k_spec: int = -1
+    crough_u: float = 0.0
+    crough_v: float = 0.0
     # texture slots (node index into SceneBuilder.textures, -1 = use constant)
     refl_tex: int = -1
     trans_tex: int = -1
@@ -150,12 +152,16 @@ class SceneBuilder:
         self.tri_mat = []
         self.tri_light = []
         self.tri_rev = []
+        self.tri_med = []    # (inside, outside) medium index per tri
         self.spheres = []    # dict(center, radius, mat, light, rev)
         self.lights = []     # LightSpec
         self.float_textures = {}
         self.spectrum_textures = {}
         self.textures = []           # list[TexSpec] flat node table
         self._texture_index = {}     # (name, is_spectrum) -> node index
+        self.media = []              # dicts: sigma_a/sigma_s dense, g
+        self.named_media = {}
+        self.camera_medium = -1      # exterior medium at WorldBegin
 
         # configs (reference defaults, SURVEY.md §8 'Observed runtime defaults')
         self.film = {"xresolution": 1920, "yresolution": 1080, "filename": "out.png"}
@@ -334,6 +340,42 @@ class SceneBuilder:
             return None
         return self.texture_index(tn, False)
 
+    # -------------------------------------------------------------- media
+
+    def make_medium(self, pd: ParameterDict) -> int:
+        """Homogeneous medium (reference medium/homogeneous_medium.cu:15-38):
+        sigma_a/sigma_s unbounded spectra (default constant 1), x scale; HG g.
+        Returns medium table index."""
+        def sigma_of(name, default):
+            rgb = pd.get_rgb(name)
+            if rgb is not None:
+                from pbrt_tpu.spectral import rgb2spec
+
+                m = float(np.max(rgb))
+                sc = 2.0 * m if m > 0 else 1.0
+                c = rgb2spec.rgb_to_coefficients_np(
+                    np.asarray(rgb) / sc if m > 0 else np.zeros(3)
+                ).astype(np.float64)
+                lam = cie.lambdas()
+                x = (c[0] * lam + c[1]) * lam + c[2]
+                sig = 0.5 * x / np.sqrt(1.0 + x * x) + 0.5
+                return sc * sig
+            idx = self.resolve_spectrum(pd, name)
+            if idx is not None:
+                return self.spectra_rows[idx]
+            v = pd.get_float(name, default)
+            return np.full(cie.LAMBDA_RANGE, v)
+
+        scale = pd.get_float("scale", 1.0)
+        self.media.append(
+            dict(
+                sigma_a=sigma_of("sigma_a", 1.0) * scale,
+                sigma_s=sigma_of("sigma_s", 1.0) * scale,
+                g=pd.get_float("g", 0.0),
+            )
+        )
+        return len(self.media) - 1
+
     # ------------------------------------------------------------ materials
 
     def make_material(self, mtype: str, pd: ParameterDict) -> int:
@@ -444,7 +486,8 @@ class SceneBuilder:
                 n_samples=pd.get_integer("nsamples", 1),
                 conductor_eta_spec=ceta,
                 conductor_k_spec=ck,
-                mix_amount=crough,  # conductor roughness reuses slot
+                crough_u=pd.get_float("conductor.uroughness", crough),
+                crough_v=pd.get_float("conductor.vroughness", crough),
             )
         elif mtype == "mix":
             names = pd._get("materials", {"string"}, None)
@@ -508,6 +551,7 @@ class SceneBuilder:
             self.tri_mat.append(mat)
             self.tri_light.append(li)
             self.tri_rev.append(rev)
+            self.tri_med.append((self.state.inside_medium, self.state.outside_medium))
 
     def add_sphere(self, pd: ParameterDict):
         radius = pd.get_float("radius", 1.0)
@@ -540,6 +584,7 @@ class SceneBuilder:
                 mat=self.state.material_idx,
                 light=li,
                 rev=self.state.reverse_orientation ^ _swaps_handedness(ctm),
+                med=(self.state.inside_medium, self.state.outside_medium),
             )
         )
 
@@ -563,6 +608,7 @@ class SceneBuilder:
 
             if kw == "WorldBegin":
                 self.in_world = True
+                self.camera_medium = self.state.outside_medium
                 self.state.ctm = tf.identity()
                 continue
             if kw == "AttributeBegin":
@@ -753,7 +799,26 @@ class SceneBuilder:
                     self.spectrum_textures[tname] = (tclass, pd)
                 continue
 
-            if kw in ("MakeNamedMedium", "MediumInterface", "CoordSysTransform",
+            if kw == "MakeNamedMedium":
+                mname = tokens[i].value
+                i += 1
+                pd, i = parse_parameters(tokens, i)
+                if pd.get_string("type", "homogeneous") != "homogeneous":
+                    raise ValueError("only homogeneous media supported (like the reference)")
+                self.named_media[mname] = self.make_medium(pd)
+                continue
+            if kw == "MediumInterface":
+                inside = tokens[i].value
+                i += 1
+                outside = ""
+                if i < len(tokens) and tokens[i].kind == "str":
+                    outside = tokens[i].value
+                    i += 1
+                self.state.inside_medium = self.named_media.get(inside, -1)
+                self.state.outside_medium = self.named_media.get(outside, -1)
+                continue
+
+            if kw in ("CoordSysTransform",
                       "ObjectBegin", "ObjectEnd", "ObjectInstance"):
                 raise NotImplementedError(f"directive {kw} not implemented yet")
 

@@ -54,6 +54,20 @@ class SceneArrays(NamedTuple):
     mat_eta_spec: jnp.ndarray    # (M,) i32 row into spec_table or -1
     mat_k_spec: jnp.ndarray
     mat_refl_mode: jnp.ndarray   # (M,) bool: conductor uses reflectance mode
+    # layered (coated) material columns; lay_marker is a 0/1-length static
+    # presence flag so texture-free jits skip the layered code path entirely
+    mat_thickness: jnp.ndarray   # (M,)
+    mat_ieta: jnp.ndarray        # (M,) interface (coat) eta
+    mat_lay_g: jnp.ndarray       # (M,)
+    mat_albedo_c: jnp.ndarray    # (M,3) medium albedo sigmoid coeffs
+    mat_crough_u: jnp.ndarray    # (M,) conductor (bottom) roughness
+    mat_crough_v: jnp.ndarray
+    lay_marker: jnp.ndarray      # (0 or 1,)
+    # mix material columns
+    mat_mix_m1: jnp.ndarray      # (M,) i32
+    mat_mix_m2: jnp.ndarray
+    mat_mix_amount: jnp.ndarray  # (M,)
+    mix_marker: jnp.ndarray      # (0 or 1,)
     # material texture slots (-1 = constant from the columns above)
     mat_refl_tex: jnp.ndarray    # (M,) i32 node into tex
     mat_trans_tex: jnp.ndarray
@@ -63,6 +77,13 @@ class SceneArrays(NamedTuple):
     tex: texlib.TexArrays
     # spectra
     spec_table: jnp.ndarray      # (NS, 471) f32
+    # homogeneous media (medium/homogeneous_medium.h)
+    med_sigma_a: jnp.ndarray     # (NM, 471) f32
+    med_sigma_s: jnp.ndarray     # (NM, 471) f32
+    med_g: jnp.ndarray           # (NM,) f32
+    tri_med: jnp.ndarray         # (T, 2) i32 (inside, outside) or -1
+    sph_med: jnp.ndarray         # (S, 2) i32
+    camera_medium: jnp.ndarray   # () i32
     # lights
     lt_type: jnp.ndarray         # (L,) i32
     lt_emission: jnp.ndarray     # (L, 471) f32 radiance spectrum
@@ -113,6 +134,7 @@ class SceneMeta:
     filter_kind: str = "mitchell"
     mutations_per_pixel: int = 100
     env_light_ids: tuple = ()   # static indices of image-infinite lights
+    volumetric: bool = False    # scene has media or material-less interfaces
 
 
 def build_perspective_matrices(fov, resolution):
@@ -197,6 +219,18 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
     mat_refl_mode = np.array(
         [m.type == bd.MAT_CONDUCTOR and m.reflectance_rgb is not None for m in b.materials]
     )
+    mat_thickness = np.array([m.thickness for m in b.materials], f32)
+    mat_ieta = np.array([m.interface_eta for m in b.materials], f32)
+    mat_lay_g = np.array([m.g for m in b.materials], f32)
+    mat_albedo_c = np.stack([coeffs_of(m.albedo_rgb) for m in b.materials])
+    mat_crough_u = np.array([m.crough_u for m in b.materials], f32)
+    mat_crough_v = np.array([m.crough_v for m in b.materials], f32)
+    any_coated = any(m.type in (bd.MAT_COATED_DIFFUSE, bd.MAT_COATED_CONDUCTOR)
+                     for m in b.materials)
+    mat_mix_m1 = np.array([m.mix_m1 for m in b.materials], np.int32)
+    mat_mix_m2 = np.array([m.mix_m2 for m in b.materials], np.int32)
+    mat_mix_amount = np.array([m.mix_amount for m in b.materials], f32)
+    any_mix = any(m.type == bd.MAT_MIX for m in b.materials)
     mat_refl_tex = np.array([m.refl_tex for m in b.materials], np.int32)
     mat_trans_tex = np.array([m.trans_tex for m in b.materials], np.int32)
     mat_urough_tex = np.array([m.urough_tex for m in b.materials], np.int32)
@@ -208,6 +242,15 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
     spec_table = np.zeros((NS, cie.LAMBDA_RANGE), f32)
     for i, row in enumerate(b.spectra_rows):
         spec_table[i] = row
+
+    # ---- media
+    NM = len(b.media)
+    med_sigma_a = np.stack([m["sigma_a"] for m in b.media]).astype(f32) if NM else np.zeros((0, cie.LAMBDA_RANGE), f32)
+    med_sigma_s = np.stack([m["sigma_s"] for m in b.media]).astype(f32) if NM else np.zeros((0, cie.LAMBDA_RANGE), f32)
+    med_g = np.array([m["g"] for m in b.media], f32) if NM else np.zeros((0,), f32)
+    tri_med = np.asarray(b.tri_med, np.int32).reshape(T, 2) if T else np.zeros((0, 2), np.int32)
+    sph_med = (np.asarray([sp.get("med", (-1, -1)) for sp in b.spheres], np.int32).reshape(S, 2)
+               if S else np.zeros((0, 2), np.int32))
 
     # ---- lights
     L = len(b.lights)
@@ -330,12 +373,29 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         mat_eta_spec=jnp.asarray(mat_eta_spec),
         mat_k_spec=jnp.asarray(mat_k_spec),
         mat_refl_mode=jnp.asarray(mat_refl_mode),
+        mat_thickness=jnp.asarray(mat_thickness),
+        mat_ieta=jnp.asarray(mat_ieta),
+        mat_lay_g=jnp.asarray(mat_lay_g),
+        mat_albedo_c=jnp.asarray(mat_albedo_c, jnp.float32),
+        mat_crough_u=jnp.asarray(mat_crough_u),
+        mat_crough_v=jnp.asarray(mat_crough_v),
+        lay_marker=jnp.zeros((1 if any_coated else 0,), jnp.float32),
+        mat_mix_m1=jnp.asarray(mat_mix_m1),
+        mat_mix_m2=jnp.asarray(mat_mix_m2),
+        mat_mix_amount=jnp.asarray(mat_mix_amount),
+        mix_marker=jnp.zeros((1 if any_mix else 0,), jnp.float32),
         mat_refl_tex=jnp.asarray(mat_refl_tex),
         mat_trans_tex=jnp.asarray(mat_trans_tex),
         mat_urough_tex=jnp.asarray(mat_urough_tex),
         mat_vrough_tex=jnp.asarray(mat_vrough_tex),
         tex=tex_arrays,
         spec_table=jnp.asarray(spec_table),
+        med_sigma_a=jnp.asarray(med_sigma_a),
+        med_sigma_s=jnp.asarray(med_sigma_s),
+        med_g=jnp.asarray(med_g),
+        tri_med=jnp.asarray(tri_med),
+        sph_med=jnp.asarray(sph_med),
+        camera_medium=jnp.asarray(b.camera_medium, jnp.int32),
         lt_type=jnp.asarray(lt_type),
         lt_emission=jnp.asarray(lt_emission),
         lt_scale=jnp.asarray(lt_scale),
@@ -381,6 +441,11 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         filter_kind=filter_kind,
         env_light_ids=tuple(
             i for i, l in enumerate(b.lights) if l.type == bd.LIGHT_IMAGE_INFINITE
+        ),
+        volumetric=bool(
+            len(b.media) > 0
+            or any(m < 0 for m in b.tri_mat)
+            or any(sp["mat"] < 0 for sp in b.spheres)
         ),
         mutations_per_pixel=b.integrator.get("mutations", 100),
     )
