@@ -38,6 +38,7 @@ def intersect(scene, o, d, t_max) -> SceneHit:
     R = o.shape[0]
     have_tris = scene.tri_p0.shape[0] > 0
     have_sph = scene.sph_center.shape[0] > 0
+    have_dsk = scene.dsk_center.shape[0] > 0
 
     t_tri = jnp.full((R,), INFINITY)
     if have_tris:
@@ -48,8 +49,17 @@ def intersect(scene, o, d, t_max) -> SceneHit:
     else:
         t_s = jnp.full((R,), INFINITY)
 
-    use_sphere = t_s < t_tri
-    t = jnp.minimum(t_tri, t_s)
+    if have_dsk:
+        t_d, idx_d, p_d, n_d = ix.intersect_disks_dense(
+            o, d, t_max, ix.DiskSoA(scene.dsk_center, scene.dsk_normal,
+                                    scene.dsk_radius, scene.dsk_inner)
+        )
+    else:
+        t_d = jnp.full((R,), INFINITY)
+
+    use_sphere = (t_s < t_tri) & (t_s <= t_d)
+    use_disk = (t_d < t_tri) & (t_d < t_s)
+    t = jnp.minimum(jnp.minimum(t_tri, t_s), t_d)
     valid = t < INFINITY
 
     # triangle hit record
@@ -106,6 +116,15 @@ def intersect(scene, o, d, t_max) -> SceneHit:
         p_hit, ng, ns, uv, mat, light = p_t, ng_adj, ns_t, uv_t, mat_t, light_t
         med = med_t
 
+    if have_dsk:
+        dk = jnp.maximum(idx_d, 0)
+        p_hit = jnp.where(use_disk[..., None], p_d, p_hit)
+        ng = jnp.where(use_disk[..., None], n_d, ng)
+        ns = jnp.where(use_disk[..., None], n_d, ns)
+        mat = jnp.where(use_disk, scene.dsk_mat[dk], mat)
+        light = jnp.where(use_disk, scene.dsk_light[dk], light)
+        med = jnp.where(use_disk[..., None], scene.dsk_med[dk], med)
+
     # Sanitize miss lanes: a huge/inf position (t = "INFINITY" * d) would
     # poison reverse-mode gradients downstream — a zero cotangent through a
     # product with an inf primal is NaN, and that NaN adds into the bars of
@@ -136,4 +155,10 @@ def occluded(scene, o, d, t_max):
             o, d, t_max, ix.SphereSoA(scene.sph_center, scene.sph_radius)
         )
         occ |= idx_s >= 0
+    if scene.dsk_center.shape[0] > 0:
+        t_d, idx_d, _, _ = ix.intersect_disks_dense(
+            o, d, t_max, ix.DiskSoA(scene.dsk_center, scene.dsk_normal,
+                                    scene.dsk_radius, scene.dsk_inner)
+        )
+        occ |= idx_d >= 0
     return occ

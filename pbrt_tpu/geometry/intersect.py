@@ -204,3 +204,47 @@ def intersect_spheres_dense(o, d, t_max, spheres: SphereSoA):
         p,
         n,
     )
+
+
+class DiskSoA(NamedTuple):
+    """Disks as (center, unit normal, radius, inner_radius) in render space
+    (reference shapes/disk.{h,cu}; phimax=360 assumed — partial disks are
+    rejected by the scene builder)."""
+
+    center: jnp.ndarray   # (D,3)
+    normal: jnp.ndarray   # (D,3)
+    radius: jnp.ndarray   # (D,)
+    inner: jnp.ndarray    # (D,)
+
+
+def intersect_disks_dense(o, d, t_max, disks: DiskSoA):
+    """Closest hit against all disks: plane hit + annulus test
+    (disk.cu intersect). Returns (t, idx, p, n), idx == -1 on miss."""
+    oc = o[:, None, :] - disks.center[None, :, :]       # (R, D, 3)
+    n = disks.normal[None, :, :]
+    denom = jnp.sum(d[:, None, :] * n, axis=-1)
+    dist = jnp.sum(oc * n, axis=-1)
+    t = -dist / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    p = o[:, None, :] + t[..., None] * d[:, None, :]
+    r2 = jnp.sum((p - disks.center[None]) ** 2, axis=-1)
+    eps = 1e-3
+    ok = (
+        (jnp.abs(denom) > 1e-9)
+        & (t > eps)
+        & (t < t_max[:, None])
+        & (r2 <= (disks.radius**2)[None, :])
+        & (r2 >= (disks.inner**2)[None, :])
+    )
+    t = jnp.where(ok, t, INFINITY)
+    best = jnp.argmin(t, axis=-1)
+    rr = jnp.arange(o.shape[0])
+    t_best = t[rr, best]
+    found = t_best < INFINITY
+    p_best = o + t_best[..., None] * d
+    n_best = disks.normal[best]
+    return (
+        jnp.where(found, t_best, INFINITY),
+        jnp.where(found, best, -1).astype(jnp.int32),
+        p_best,
+        n_best,
+    )

@@ -128,8 +128,22 @@ def area_light_pdf_li(scene, light_idx, p_ref, ns_ref, wi, hit_p, hit_n):
 
     hit_p/hit_n: the intersection point and geometric normal on the light
     (we already have them from the ray cast, so no re-intersection needed)."""
+    out = jnp.zeros(p_ref.shape[:-1])
+    li2 = jnp.maximum(light_idx, 0)
+    if int(scene.sph_center.shape[0]) > 0:
+        out = jnp.where(
+            scene.lt_sph[li2] >= 0,
+            sphere_light_pdf_li(scene, light_idx, p_ref, hit_p, hit_n, wi),
+            out,
+        )
+    if int(scene.dsk_center.shape[0]) > 0:
+        out = jnp.where(
+            scene.lt_dsk[li2] >= 0,
+            disk_light_pdf_li(scene, light_idx, p_ref, hit_p, hit_n, wi),
+            out,
+        )
     if int(scene.tri_p0.shape[0]) == 0:
-        return jnp.zeros(p_ref.shape[:-1])
+        return out
     tri = scene.lt_tri[jnp.maximum(light_idx, 0)]
     p0, p1, p2 = _tri_verts(scene, tri)
     area, _ = _tri_area_normal(p0, p1, p2)
@@ -157,7 +171,8 @@ def area_light_pdf_li(scene, light_idx, p_ref, ns_ref, wi, hit_p, hit_n):
         axis=-1,
     )
     pdfB = pdfB * jnp.where(has_ns, warps.bilinear_pdf(u_inv, w_corner), 1.0)
-    return jnp.where(use_area, pdfA, pdfB)
+    tri_pdf = jnp.where(use_area, pdfA, pdfB)
+    return jnp.where(scene.lt_tri[jnp.maximum(light_idx, 0)] >= 0, tri_pdf, out)
 
 
 def sample_li(scene, light_idx, p_ref, ns_ref, u2, lam, scene_radius):
@@ -166,20 +181,33 @@ def sample_li(scene, light_idx, p_ref, ns_ref, u2, lam, scene_radius):
     ltype = scene.lt_type[li]
     em = emission(scene, light_idx, lam)
 
-    # area (static skip when the scene has no triangle geometry)
+    # area emitters: triangles, spheres, disks (lt_tri/lt_sph/lt_dsk pick
+    # the shape; static skips for shape kinds absent from the scene)
     if int(scene.tri_p0.shape[0]) > 0:
         p_a, n_a, pdf_a, valid_a = sample_area_light_li(scene, light_idx, p_ref, ns_ref, u2)
-        wi_a = vm.normalize(p_a - p_ref)
-        L_a = jnp.where(
-            (vm.dot(n_a, -wi_a) > 0.0) | scene.lt_twosided[li], 1.0, 0.0
-        )[..., None] * em
     else:
         p_a = p_ref
         n_a = jnp.zeros_like(p_ref).at[..., 2].set(1.0)
         pdf_a = jnp.zeros(p_ref.shape[:-1])
         valid_a = jnp.zeros(p_ref.shape[:-1], bool)
-        wi_a = n_a
-        L_a = jnp.zeros_like(em)
+    if int(scene.sph_center.shape[0]) > 0:
+        is_sph_l = scene.lt_sph[li] >= 0
+        p_s2, n_s2, pdf_s2, valid_s2 = sample_sphere_light_li(scene, light_idx, p_ref, u2)
+        p_a = jnp.where(is_sph_l[..., None], p_s2, p_a)
+        n_a = jnp.where(is_sph_l[..., None], n_s2, n_a)
+        pdf_a = jnp.where(is_sph_l, pdf_s2, pdf_a)
+        valid_a = jnp.where(is_sph_l, valid_s2, valid_a)
+    if int(scene.dsk_center.shape[0]) > 0:
+        is_dsk_l = scene.lt_dsk[li] >= 0
+        p_d2, n_d2, pdf_d2, valid_d2 = sample_disk_light_li(scene, light_idx, p_ref, u2)
+        p_a = jnp.where(is_dsk_l[..., None], p_d2, p_a)
+        n_a = jnp.where(is_dsk_l[..., None], n_d2, n_a)
+        pdf_a = jnp.where(is_dsk_l, pdf_d2, pdf_a)
+        valid_a = jnp.where(is_dsk_l, valid_d2, valid_a)
+    wi_a = vm.normalize(p_a - p_ref)
+    L_a = jnp.where(
+        (vm.dot(n_a, -wi_a) > 0.0) | scene.lt_twosided[li], 1.0, 0.0
+    )[..., None] * em
 
     # distant: wi = light direction, pseudo-position 2*radius away
     wi_d = scene.lt_direction[li]
@@ -392,3 +420,112 @@ def env_pdf_li(scene, li, w_render):
     ty = jnp.clip((uv[..., 1] * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
     pmf = scene.env_pdf[off + ty * w + tx]
     return pmf * n.astype(jnp.float32) / (4.0 * jnp.pi)
+
+
+# ------------------------------------------------- sphere / disk emitters
+# (reference shapes/sphere.cu sample(ctx): cone sampling outside, area
+# sampling inside; shapes/disk.cu sample(ctx): uniform area -> solid angle)
+
+
+def sample_sphere_light_li(scene, light_idx, p_ref, u2):
+    """-> (p_light, n_light, pdf (solid angle), valid)."""
+    li = jnp.maximum(light_idx, 0)
+    sph = jnp.maximum(scene.lt_sph[li], 0)
+    c = scene.sph_center[sph]
+    rad = scene.sph_radius[sph]
+    to_c = c - p_ref
+    dist2 = vm.length_squared(to_c)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
+    inside = dist2 <= rad * rad
+
+    # --- outside: uniform cone (sphere.cu:188-240 / pbrt-v4)
+    sin2_max = (rad * rad) / jnp.maximum(dist2, 1e-24)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+    one_minus_cos_max = jnp.where(
+        sin2_max < 0.00068523, sin2_max / 2.0, 1.0 - cos_max
+    )
+    cos_t = (cos_max - 1.0) * u2[..., 0] + 1.0
+    sin2_t = 1.0 - cos_t * cos_t
+    small = sin2_max < 0.00068523
+    sin2_t = jnp.where(small, sin2_max * u2[..., 0], sin2_t)
+    cos_t = jnp.where(small, jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0)), cos_t)
+    sin_max = jnp.sqrt(jnp.maximum(sin2_max, 1e-24))
+    cos_alpha = sin2_t / sin_max + cos_t * jnp.sqrt(
+        jnp.maximum(1.0 - sin2_t / jnp.maximum(sin2_max, 1e-24), 0.0)
+    )
+    sin_alpha = jnp.sqrt(jnp.maximum(1.0 - cos_alpha * cos_alpha, 0.0))
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    # frame around the axis from the sphere center towards the reference
+    axis = vm.normalize(p_ref - c)
+    fx, fy, fz = vm.frame_from_z(axis)
+    n_local = vm.spherical_direction(sin_alpha, cos_alpha, phi)
+    n_out = vm.from_local(fx, fy, fz, n_local)
+    p_out = c + rad[..., None] * n_out
+    pdf_out = 1.0 / jnp.maximum(2.0 * jnp.pi * one_minus_cos_max, 1e-12)
+
+    # --- inside: uniform area sample -> solid angle
+    from pbrt_tpu.sampling import warps
+
+    n_in = warps.sample_uniform_sphere(u2)
+    p_in = c + rad[..., None] * n_in
+    wi_in = vm.normalize(p_in - p_ref)
+    d2_in = vm.length_squared(p_in - p_ref)
+    area = 4.0 * jnp.pi * rad * rad
+    cos_l = vm.absdot(n_in, -wi_in)
+    pdf_in = d2_in / jnp.maximum(area * jnp.maximum(cos_l, 1e-9), 1e-12)
+
+    p_l = jnp.where(inside[..., None], p_in, p_out)
+    n_l = jnp.where(inside[..., None], n_in, n_out)
+    pdf = jnp.where(inside, pdf_in, pdf_out)
+    valid = jnp.isfinite(pdf) & (pdf > 0.0)
+    return p_l, n_l, pdf, valid
+
+
+def sphere_light_pdf_li(scene, light_idx, p_ref, hit_p, hit_n, wi):
+    li = jnp.maximum(light_idx, 0)
+    sph = jnp.maximum(scene.lt_sph[li], 0)
+    c = scene.sph_center[sph]
+    rad = scene.sph_radius[sph]
+    dist2 = vm.length_squared(c - p_ref)
+    inside = dist2 <= rad * rad
+    sin2_max = (rad * rad) / jnp.maximum(dist2, 1e-24)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+    one_minus_cos_max = jnp.where(sin2_max < 0.00068523, sin2_max / 2.0, 1.0 - cos_max)
+    pdf_out = 1.0 / jnp.maximum(2.0 * jnp.pi * one_minus_cos_max, 1e-12)
+    d2 = vm.length_squared(hit_p - p_ref)
+    area = 4.0 * jnp.pi * rad * rad
+    cos_l = vm.absdot(hit_n, -wi)
+    pdf_in = d2 / jnp.maximum(area * jnp.maximum(cos_l, 1e-9), 1e-12)
+    return jnp.where(inside, pdf_in, pdf_out)
+
+
+def sample_disk_light_li(scene, light_idx, p_ref, u2):
+    """Uniform-area disk sample converted to solid angle (disk.cu:42-85)."""
+    from pbrt_tpu.sampling import warps
+
+    li = jnp.maximum(light_idx, 0)
+    dk = jnp.maximum(scene.lt_dsk[li], 0)
+    c = scene.dsk_center[dk]
+    n = scene.dsk_normal[dk]
+    rad = scene.dsk_radius[dk]
+    pd = warps.sample_uniform_disk_concentric(u2)
+    fx, fy, fz = vm.frame_from_z(n)
+    p_l = c + fx * (pd[..., 0] * rad)[..., None] + fy * (pd[..., 1] * rad)[..., None]
+    area = jnp.pi * (rad * rad - scene.dsk_inner[dk] ** 2)
+    wi = vm.normalize(p_l - p_ref)
+    d2 = vm.length_squared(p_l - p_ref)
+    cos_l = vm.absdot(n, -wi)
+    pdf = d2 / jnp.maximum(area * jnp.maximum(cos_l, 1e-9), 1e-12)
+    valid = jnp.isfinite(pdf) & (pdf > 0.0) & (d2 > 0.0)
+    return p_l, n, pdf, valid
+
+
+def disk_light_pdf_li(scene, light_idx, p_ref, hit_p, hit_n, wi):
+    li = jnp.maximum(light_idx, 0)
+    dk = jnp.maximum(scene.lt_dsk[li], 0)
+    rad = scene.dsk_radius[dk]
+    area = jnp.pi * (rad * rad - scene.dsk_inner[dk] ** 2)
+    d2 = vm.length_squared(hit_p - p_ref)
+    cos_l = vm.absdot(hit_n, -wi)
+    pdf = d2 / jnp.maximum(area * jnp.maximum(cos_l, 1e-9), 1e-12)
+    return jnp.where(jnp.isfinite(pdf), pdf, 0.0)

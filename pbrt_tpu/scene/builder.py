@@ -115,6 +115,7 @@ class LightSpec:
     position: Optional[np.ndarray] = None
     cos_falloff_start: float = 0.0
     cos_falloff_end: float = 0.0
+    disk_index: int = -1
     # image infinite
     image: Optional[np.ndarray] = None
     light_from_render: Optional[np.ndarray] = None
@@ -154,6 +155,7 @@ class SceneBuilder:
         self.tri_rev = []
         self.tri_med = []    # (inside, outside) medium index per tri
         self.spheres = []    # dict(center, radius, mat, light, rev)
+        self.disks = []      # dict(center, normal, radius, inner, mat, light)
         self.lights = []     # LightSpec
         self.float_textures = {}
         self.spectrum_textures = {}
@@ -588,6 +590,48 @@ class SceneBuilder:
             )
         )
 
+    def add_disk(self, pd: ParameterDict):
+        """reference shapes/disk.cu: z=height plane annulus in object space;
+        phimax must be 360 (partial disks unsupported)."""
+        if pd.get_float("phimax", 360.0) != 360.0:
+            raise NotImplementedError("partial disks (phimax < 360) not supported")
+        ctm = self.state.ctm
+        height = pd.get_float("height", 0.0)
+        radius = pd.get_float("radius", 1.0)
+        inner = pd.get_float("innerradius", 0.0)
+        det = np.linalg.det(ctm[:3, :3])
+        sc = abs(det) ** (1.0 / 3.0)
+        n = ctm[:3, :3] @ np.array([0.0, 0.0, 1.0])
+        n = n / max(np.linalg.norm(n), 1e-12)
+        center = ctm[:3, 3] + n * height * sc
+        rev = self.state.reverse_orientation ^ _swaps_handedness(ctm)
+        if rev:
+            n = -n
+        li = -1
+        if self.state.area_light is not None:
+            al = self.state.area_light
+            self.lights.append(
+                LightSpec(
+                    type=LIGHT_AREA,
+                    emission_dense=al.emission_dense,
+                    scale=al.scale,
+                    two_sided=al.two_sided,
+                    disk_index=len(self.disks),
+                )
+            )
+            li = len(self.lights) - 1
+        self.disks.append(
+            dict(
+                center=center,
+                normal=n,
+                radius=radius * sc,
+                inner=inner * sc,
+                mat=self.state.material_idx,
+                light=li,
+                med=(self.state.inside_medium, self.state.outside_medium),
+            )
+        )
+
     # ------------------------------------------------------------- parsing
 
     def parse_file(self, path):
@@ -777,12 +821,22 @@ class SceneBuilder:
                     self.add_triangle_mesh(pd)
                 elif stype == "sphere":
                     self.add_sphere(pd)
+                elif stype == "disk":
+                    self.add_disk(pd)
                 elif stype == "plymesh":
                     from pbrt_tpu.scene.ply import read_ply
 
                     fname = os.path.join(self._search_dir, pd.get_string("filename"))
                     P, idx, N, UV = read_ply(fname)
                     self._emit_mesh(P, idx, N, UV)
+                elif stype == "loopsubdiv":
+                    from pbrt_tpu.scene.subdivide import loop_subdivide
+
+                    P = pd.get_points3("P")
+                    idx = np.asarray(pd.get_integers("indices"), np.int32).reshape(-1, 3)
+                    levels = pd.get_integer("levels", 3)
+                    P2, idx2, N2 = loop_subdivide(np.asarray(P), idx, levels)
+                    self._emit_mesh(P2, idx2, N2, None)
                 else:
                     raise ValueError(f"shape {stype!r} not supported yet")
                 continue

@@ -43,6 +43,14 @@ class SceneArrays(NamedTuple):
     sph_radius: jnp.ndarray
     sph_mat: jnp.ndarray
     sph_light: jnp.ndarray
+    # disks
+    dsk_center: jnp.ndarray      # (D,3)
+    dsk_normal: jnp.ndarray      # (D,3)
+    dsk_radius: jnp.ndarray      # (D,)
+    dsk_inner: jnp.ndarray       # (D,)
+    dsk_mat: jnp.ndarray         # (D,) i32
+    dsk_light: jnp.ndarray       # (D,) i32
+    dsk_med: jnp.ndarray         # (D,2) i32
     # materials
     mat_type: jnp.ndarray        # (M,) i32
     mat_refl_c: jnp.ndarray      # (M,3) sigmoid coeffs of reflectance/albedo
@@ -90,6 +98,8 @@ class SceneArrays(NamedTuple):
     lt_scale: jnp.ndarray        # (L,) f32 differentiable multiplier
     lt_twosided: jnp.ndarray     # (L,) bool
     lt_tri: jnp.ndarray          # (L,) i32
+    lt_sph: jnp.ndarray          # (L,) i32 sphere emitter index (-1)
+    lt_dsk: jnp.ndarray          # (L,) i32 disk emitter index (-1)
     lt_direction: jnp.ndarray    # (L, 3) distant/spot
     lt_position: jnp.ndarray     # (L, 3) spot
     lt_cos_start: jnp.ndarray    # (L,)
@@ -130,6 +140,7 @@ class SceneMeta:
     n_tris: int
     n_spheres: int
     n_lights: int
+    n_disks: int
     filter: dict
     filter_kind: str = "mitchell"
     mutations_per_pixel: int = 100
@@ -243,6 +254,25 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
     for i, row in enumerate(b.spectra_rows):
         spec_table[i] = row
 
+    # ---- disks
+    D = len(b.disks)
+    if D:
+        dsk_center = np.stack([to_render_p(dk["center"]) for dk in b.disks])
+        dsk_normal = np.stack([dk["normal"] for dk in b.disks])
+        dsk_radius = np.array([dk["radius"] for dk in b.disks], f32)
+        dsk_inner = np.array([dk["inner"] for dk in b.disks], f32)
+        dsk_mat = np.array([dk["mat"] for dk in b.disks], np.int32)
+        dsk_light = np.array([dk["light"] for dk in b.disks], np.int32)
+        dsk_med = np.array([dk.get("med", (-1, -1)) for dk in b.disks], np.int32)
+    else:
+        dsk_center = np.zeros((0, 3))
+        dsk_normal = np.zeros((0, 3))
+        dsk_radius = np.zeros((0,), f32)
+        dsk_inner = np.zeros((0,), f32)
+        dsk_mat = np.zeros((0,), np.int32)
+        dsk_light = np.zeros((0,), np.int32)
+        dsk_med = np.zeros((0, 2), np.int32)
+
     # ---- media
     NM = len(b.media)
     med_sigma_a = np.stack([m["sigma_a"] for m in b.media]).astype(f32) if NM else np.zeros((0, cie.LAMBDA_RANGE), f32)
@@ -260,6 +290,8 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         lt_scale = np.array([l.scale for l in b.lights], f32)
         lt_twosided = np.array([l.two_sided for l in b.lights])
         lt_tri = np.array([l.tri_index for l in b.lights], np.int32)
+        lt_sph = np.array([l.sphere_index for l in b.lights], np.int32)
+        lt_dsk = np.array([getattr(l, "disk_index", -1) for l in b.lights], np.int32)
         lt_direction = np.stack(
             [l.direction if l.direction is not None else np.zeros(3) for l in b.lights]
         )
@@ -274,6 +306,8 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         lt_scale = np.zeros((0,), f32)
         lt_twosided = np.zeros((0,), bool)
         lt_tri = np.zeros((0,), np.int32)
+        lt_sph = np.zeros((0,), np.int32)
+        lt_dsk = np.zeros((0,), np.int32)
         lt_direction = np.zeros((0, 3))
         lt_position = np.zeros((0, 3))
         lt_cos_start = np.zeros((0,), f32)
@@ -292,6 +326,10 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         elif l.type == bd.LIGHT_AREA and l.sphere_index >= 0:
             r = b.spheres[l.sphere_index]["radius"]
             area = 4 * np.pi * r * r
+            power[i] = np.pi * (2.0 if l.two_sided else 1.0) * area * le
+        elif l.type == bd.LIGHT_AREA and getattr(l, "disk_index", -1) >= 0:
+            dk = b.disks[l.disk_index]
+            area = np.pi * (dk["radius"] ** 2 - dk["inner"] ** 2)
             power[i] = np.pi * (2.0 if l.two_sided else 1.0) * area * le
         else:
             power[i] = le  # scene-radius scaling applied uniformly; fine for pmf
@@ -338,6 +376,9 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
     if S:
         all_pts.append(sph_center + sph_radius[:, None])
         all_pts.append(sph_center - sph_radius[:, None])
+    if D:
+        all_pts.append(dsk_center + dsk_radius[:, None])
+        all_pts.append(dsk_center - dsk_radius[:, None])
     pts = np.concatenate(all_pts) if all_pts else np.zeros((1, 3))
     center = 0.5 * (pts.min(0) + pts.max(0))
     radius = float(np.linalg.norm(pts - center, axis=-1).max()) if len(pts) else 1.0
@@ -363,6 +404,13 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         sph_radius=jnp.asarray(sph_radius, jnp.float32),
         sph_mat=jnp.asarray(sph_mat),
         sph_light=jnp.asarray(sph_light),
+        dsk_center=jnp.asarray(dsk_center, jnp.float32),
+        dsk_normal=jnp.asarray(dsk_normal, jnp.float32),
+        dsk_radius=jnp.asarray(dsk_radius),
+        dsk_inner=jnp.asarray(dsk_inner),
+        dsk_mat=jnp.asarray(dsk_mat),
+        dsk_light=jnp.asarray(dsk_light),
+        dsk_med=jnp.asarray(dsk_med),
         mat_type=jnp.asarray(mat_type),
         mat_refl_c=jnp.asarray(mat_refl_c, jnp.float32),
         mat_trans_c=jnp.asarray(mat_trans_c, jnp.float32),
@@ -401,6 +449,8 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         lt_scale=jnp.asarray(lt_scale),
         lt_twosided=jnp.asarray(lt_twosided),
         lt_tri=jnp.asarray(lt_tri),
+        lt_sph=jnp.asarray(lt_sph),
+        lt_dsk=jnp.asarray(lt_dsk),
         lt_direction=jnp.asarray(lt_direction, jnp.float32),
         lt_position=jnp.asarray(lt_position, jnp.float32),
         lt_cos_start=jnp.asarray(lt_cos_start),
@@ -436,6 +486,7 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         filename=b.film["filename"],
         n_tris=T,
         n_spheres=S,
+        n_disks=D,
         n_lights=L,
         filter=filter_params,
         filter_kind=filter_kind,
