@@ -1,0 +1,617 @@
+"""Bidirectional path tracing.
+
+TPU-native re-expression of reference integrators/bdpt.{h,cu} (1,212 LoC,
+pbrt-v4's BDPT): camera and light subpaths are random walks over dense lane
+batches; vertices live in per-slot SoA records (the (s,t) strategy loops are
+static, so vertex indexing is compile-time); the MIS weight's ScopedAssignment
+pdf-rewrites (bdpt.cu:288-380) become functional recomputation of the four
+junction pdf_revs per strategy.
+
+Strategy coverage (connect_bdpt, bdpt.cu:612-721):
+  s=0      camera path hits an emitter (path-traced term)
+  t=1      light path connected to a sampled lens point -> film splat
+  s=1      camera vertex connected to a sampled light point (NEE-like)
+  s>1,t>1  general vertex-to-vertex connection with G and visibility
+
+Limitations vs reference (documented gaps, not silent): infinite/distant
+lights participate only via s=0 (no light-subpath start from them), and
+media are not traversed by connection rays.
+"""
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.utils.math import INFINITY, power_heuristic
+from pbrt_tpu.geometry import vecmath as vm
+from pbrt_tpu.geometry.ray import offset_ray_origin
+from pbrt_tpu.accel import dispatch
+from pbrt_tpu.cameras import perspective
+from pbrt_tpu.materials import materials, bxdfs
+from pbrt_tpu.lights import lights
+from pbrt_tpu.sampling import samplers
+from pbrt_tpu.spectral import sampled
+
+VT_NONE = 0
+VT_CAMERA = 1
+VT_LIGHT = 2
+VT_SURFACE = 3
+
+
+class V(NamedTuple):
+    """One vertex slot, SoA over lanes (bdpt.h:50-279 Vertex)."""
+
+    vtype: jnp.ndarray    # (R,) i32
+    p: jnp.ndarray        # (R,3)
+    ng: jnp.ndarray       # (R,3)
+    ns: jnp.ndarray       # (R,3)
+    uv: jnp.ndarray       # (R,2)
+    beta: jnp.ndarray     # (R,4)
+    pdf_fwd: jnp.ndarray  # (R,) area-measure pdf from the previous vertex
+    pdf_rev: jnp.ndarray  # (R,) area-measure pdf from the next vertex
+    delta: jnp.ndarray    # (R,) bool (specular connection)
+    light: jnp.ndarray    # (R,) i32 light id (emitter surface or endpoint)
+    mat: jnp.ndarray      # (R,) i32 material (surface vertices)
+    wo: jnp.ndarray       # (R,3) direction towards the previous vertex
+    # cached BSDF (built once during the walk; connections/pdfs reuse it —
+    # rebuilding via make_bsdf per strategy made the traced graph explode)
+    bx: object            # bxdfs.BxdfParams or None
+    fx: jnp.ndarray       # shading frame
+    fy: jnp.ndarray
+    fz: jnp.ndarray
+
+
+def _empty_vertex(R):
+    zero_bx = bxdfs.BxdfParams(
+        kind=jnp.zeros((R,), jnp.int32),
+        refl=jnp.zeros((R, 4)),
+        trans=jnp.zeros((R, 4)),
+        eta_re=jnp.ones((R, 4)),
+        eta_im=jnp.zeros((R, 4)),
+        eta=jnp.ones((R,)),
+        ax=jnp.full((R,), 1e-4),
+        ay=jnp.full((R,), 1e-4),
+    )
+    z = jnp.zeros((R, 3))
+    return V(
+        vtype=jnp.zeros((R,), jnp.int32),
+        p=jnp.zeros((R, 3)),
+        ng=jnp.zeros((R, 3)).at[..., 2].set(1.0),
+        ns=jnp.zeros((R, 3)).at[..., 2].set(1.0),
+        uv=jnp.zeros((R, 2)),
+        beta=jnp.zeros((R, 4)),
+        pdf_fwd=jnp.zeros((R,)),
+        pdf_rev=jnp.zeros((R,)),
+        delta=jnp.zeros((R,), bool),
+        light=jnp.full((R,), -1, jnp.int32),
+        mat=jnp.full((R,), -1, jnp.int32),
+        wo=jnp.zeros((R, 3)),
+        bx=zero_bx,
+        fx=z.at[..., 0].set(1.0),
+        fy=z.at[..., 1].set(1.0),
+        fz=z.at[..., 2].set(1.0),
+    )
+
+
+def _exists(v: V):
+    return v.vtype != VT_NONE
+
+
+def _is_connectible(v: V):
+    # camera/light endpoints + non-delta surfaces (bdpt.h is_connectible)
+    return _exists(v) & ~v.delta
+
+
+def _dir_to(a_p, b_p):
+    d = b_p - a_p
+    dist2 = vm.length_squared(d)
+    return d / jnp.sqrt(jnp.maximum(dist2, 1e-24))[..., None], dist2
+
+
+def _convert_density(pdf_dir, from_p, to: V):
+    """Solid-angle pdf at from_p towards `to` -> area density at `to`
+    (bdpt.h convert_density)."""
+    w, dist2 = _dir_to(from_p, to.p)
+    cos = vm.absdot(to.ng, w)
+    # endpoints without geometry (camera pinhole) keep cos factor 1
+    cos = jnp.where(to.vtype == VT_SURFACE, cos, jnp.maximum(cos, 1.0))
+    return pdf_dir * cos / jnp.maximum(dist2, 1e-24)
+
+
+def _vertex_bsdf(scene, v: V, wl):
+    """Cached-lobe Bsdf for the vertex. Coated (layered) kinds are
+    approximated as their bottom diffuse lobe in BDPT connections (the
+    layered walk is too heavy to re-trace per strategy)."""
+    kind = v.bx.kind
+    kind = jnp.where(
+        (kind == bxdfs.K_COATED_DIFFUSE) | (kind == bxdfs.K_COATED_CONDUCTOR),
+        bxdfs.K_DIFFUSE,
+        kind,
+    )
+    return materials.Bsdf(params=v.bx._replace(kind=kind), fx=v.fx, fy=v.fy, fz=v.fz,
+                          lay=None)
+
+
+def _vertex_f(scene, v: V, to: V, wl):
+    """BSDF value at v towards `to` (bdpt.h Vertex::f), zero for endpoints."""
+    wi, _ = _dir_to(v.p, to.p)
+    b = _vertex_bsdf(scene, v, wl)
+    f = materials.bsdf_f(b, v.wo, wi)
+    return jnp.where((v.vtype == VT_SURFACE)[..., None], f, 0.0)
+
+
+def _vertex_pdf(scene, v: V, prev: V, nxt: V, wl, prev_valid):
+    """Directional pdf at v from prev towards nxt, converted to area at nxt
+    (bdpt.h Vertex::pdf)."""
+    wn, _ = _dir_to(v.p, nxt.p)
+    wp, _ = _dir_to(v.p, prev.p)
+    # surface: bsdf pdf
+    b = _vertex_bsdf(scene, v, wl)
+    pdf_surf = materials.bsdf_pdf(b, jnp.where(prev_valid[..., None], wp, v.wo), wn)
+    # camera: pdf_we directional
+    _, pdf_cam = perspective.pdf_we(scene, v.p, wn)
+    # light endpoint: emission direction pdf
+    _, pdf_light_dir = lights.pdf_le(scene, v.light, v.ng, wn)
+    pdf_dir = jnp.where(
+        v.vtype == VT_CAMERA,
+        pdf_cam,
+        jnp.where(v.vtype == VT_LIGHT, pdf_light_dir, pdf_surf),
+    )
+    return _convert_density(pdf_dir, v.p, nxt)
+
+
+def _vertex_pdf_light(scene, v: V, nxt: V):
+    """pdf of light at v emitting towards nxt, area measure at nxt
+    (bdpt.h Vertex::pdf_light)."""
+    w, dist2 = _dir_to(v.p, nxt.p)
+    _, pdf_dir = lights.pdf_le(scene, v.light, v.ng, w)
+    cos = vm.absdot(nxt.ng, w)
+    cos = jnp.where(nxt.vtype == VT_SURFACE, cos, jnp.maximum(cos, 1.0))
+    return pdf_dir * cos / jnp.maximum(dist2, 1e-24)
+
+
+def _vertex_pdf_light_origin(scene, v: V):
+    """pmf(light) * positional pdf (bdpt.h Vertex::pdf_light_origin)."""
+    li = jnp.maximum(v.light, 0)
+    pmf = scene.lt_pmf[li]
+    _, _, area, ok = lights._area_shape_sample(
+        scene, v.light, jnp.full(v.p.shape[:-1] + (2,), 0.5)
+    )
+    pdf_pos = 1.0 / jnp.maximum(area, 1e-12)
+    return jnp.where((v.light >= 0) & ok, pmf * pdf_pos, 0.0)
+
+
+def _remap0(f):
+    return jnp.where(f != 0.0, f, 1.0)
+
+
+# ---------------------------------------------------------------- walks
+
+
+def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps, mode_radiance):
+    """Random walk (bdpt.h random_walk) as a lax.scan — the body compiles
+    once regardless of depth (an unrolled version sent XLA:CPU's optimizer
+    superlinear). Returns (list of per-step V slots, (endpoint_rev_dir,
+    first_vertex), smp)."""
+    R = o.shape[0]
+
+    def body(carry, _):
+        beta, pdf_fwd_dir, active, prev_p, cur_o, cur_d, smp = carry
+        hit = dispatch.intersect(scene, cur_o, cur_d, jnp.full((R,), INFINITY))
+        found = active & hit.valid & (hit.mat >= 0)
+
+        mat_r = materials.resolve_mix(scene, hit.mat, hit.p, hit.wo)
+        b_full, _ = materials.make_bsdf(scene, mat_r, hit.ns, wl, hit.uv)
+
+        w_in, dist2 = _dir_to(prev_p, hit.p)
+        cosv = vm.absdot(hit.ng, w_in)
+        pdf_fwd = jnp.where(found, pdf_fwd_dir * cosv / jnp.maximum(dist2, 1e-24), 0.0)
+
+        smp, uc = samplers.get_1d(smp, found, skind, spp)
+        smp, u2 = samplers.get_2d(smp, found, skind, spp)
+        bs = materials.bsdf_sample(b_full, hit.wo, uc, u2)
+        spec = bxdfs.is_specular(bs.flags)
+
+        cos_term = vm.absdot(bs.wi, hit.ns)
+        beta_next = beta * bs.f * (cos_term / jnp.maximum(bs.pdf, 1e-20))[..., None]
+        cont = found & bs.valid & jnp.any(beta_next > 0, -1)
+
+        # reverse-directional pdf towards the previous vertex (cached lobes)
+        kind = b_full.params.kind
+        kind = jnp.where(
+            (kind == bxdfs.K_COATED_DIFFUSE) | (kind == bxdfs.K_COATED_CONDUCTOR),
+            bxdfs.K_DIFFUSE, kind,
+        )
+        b_cheap = materials.Bsdf(params=b_full.params._replace(kind=kind),
+                                 fx=b_full.fx, fy=b_full.fy, fz=b_full.fz, lay=None)
+        rev_dir = jnp.where(spec, 0.0, materials.bsdf_pdf(b_cheap, bs.wi, hit.wo))
+
+        vtx = V(
+            vtype=jnp.where(found, VT_SURFACE, VT_NONE).astype(jnp.int32),
+            p=hit.p,
+            ng=hit.ng,
+            ns=hit.ns,
+            uv=hit.uv,
+            beta=jnp.where(found[..., None], beta, 0.0),
+            pdf_fwd=pdf_fwd,
+            pdf_rev=jnp.zeros((R,)),
+            delta=found & spec,
+            light=jnp.where(found, hit.light, -1),
+            mat=jnp.where(found, hit.mat, -1),
+            wo=hit.wo,
+            bx=b_full.params,
+            fx=b_full.fx,
+            fy=b_full.fy,
+            fz=b_full.fz,
+        )
+
+        new_carry = (
+            jnp.where(cont[..., None], beta_next, beta),
+            jnp.where(spec, 0.0, bs.pdf),
+            cont,
+            hit.p,
+            offset_ray_origin(hit.p, hit.ng, bs.wi, scene.ray_offset_scale),
+            bs.wi,
+            smp,
+        )
+        return new_carry, (vtx, rev_dir)
+
+    active0 = jnp.any(beta0 > 0, -1) & (pdf_dir0 > 0)
+    carry0 = (beta0, pdf_dir0, active0, o, o, d, smp)
+    carry, (stacked, rev_dirs) = jax.lax.scan(body, carry0, None, length=n_steps)
+    smp = carry[-1]
+
+    # fill pdf_rev from the successor's reverse-directional pdf (vectorized
+    # over the step axis: slot i gets slot i+1's rev_dir converted to area)
+    nxt = jax.tree_util.tree_map(lambda x: x[1:], stacked)
+    cur_p = stacked.p[:-1]
+    cur_ng = stacked.ng[:-1]
+    w = cur_p - nxt.p
+    dist2 = jnp.sum(w * w, axis=-1)
+    w = w / jnp.sqrt(jnp.maximum(dist2, 1e-24))[..., None]
+    cos = jnp.abs(jnp.sum(cur_ng * w, axis=-1))
+    pdf_rev_fill = jnp.where(
+        nxt.vtype != VT_NONE, rev_dirs[1:] * cos / jnp.maximum(dist2, 1e-24), 0.0
+    )
+    pdf_rev = jnp.concatenate([pdf_rev_fill, jnp.zeros((1, R))], axis=0)
+    stacked = stacked._replace(pdf_rev=pdf_rev)
+
+    out = [jax.tree_util.tree_map(lambda x: x[i], stacked) for i in range(n_steps)]
+    first_v = out[0] if out else None
+    endpoint_rev = rev_dirs[0] if n_steps > 0 else jnp.zeros((R,))
+    return out, (endpoint_rev, first_v), smp
+
+
+def camera_path(scene, p_film, smp, wl, max_depth, skind, spp):
+    """Camera subpath: [camera vertex] + up to max_depth+1 surface vertices."""
+    R = p_film.shape[0]
+    rays = perspective.generate_rays(scene, p_film, jnp.zeros((R, 2)))
+    cam_v = _empty_vertex(R)._replace(
+        vtype=jnp.full((R,), VT_CAMERA, jnp.int32),
+        p=rays.o,
+        beta=jnp.ones((R, 4)),
+        pdf_fwd=jnp.ones((R,)),
+    )
+    _, pdf_dir = perspective.pdf_we(scene, rays.o, rays.d)
+    surf, (ep_rev, first_v), smp = _walk(
+        scene, rays.o, rays.d, jnp.ones((R, 4)), pdf_dir, wl, smp,
+        skind, spp, max_depth + 1, True,
+    )
+    if first_v is not None:
+        w, dist2 = _dir_to(first_v.p, cam_v.p)
+        cam_v = cam_v._replace(
+            pdf_rev=jnp.where(_exists(first_v), ep_rev / jnp.maximum(dist2, 1e-24), 0.0)
+        )
+    return [cam_v] + surf, smp
+
+
+def light_path(scene, smp, wl, max_depth, skind, spp):
+    """Light subpath: [light vertex] + up to max_depth surface vertices."""
+    smp, u_pick = samplers.get_1d(smp, None, skind, spp)
+    cdf = jnp.cumsum(scene.lt_pmf)
+    li = jnp.clip(
+        jnp.searchsorted(cdf, u_pick, side="right").astype(jnp.int32),
+        0, scene.lt_pmf.shape[0] - 1,
+    )
+    pmf = scene.lt_pmf[li]
+    smp, u_pos = samplers.get_2d(smp, None, skind, spp)
+    smp, u_dir = samplers.get_2d(smp, None, skind, spp)
+    Le, p, ng, w, pdf_pos, pdf_dir, ok = lights.sample_le(scene, li, u_pos, u_dir, wl.lam)
+
+    R = p.shape[0]
+    light_v = _empty_vertex(R)._replace(
+        vtype=jnp.where(ok, VT_LIGHT, VT_NONE).astype(jnp.int32),
+        p=p,
+        ng=ng,
+        ns=ng,
+        beta=jnp.where(ok[..., None], Le / jnp.maximum(pmf * pdf_pos, 1e-20)[..., None], 0.0),
+        pdf_fwd=jnp.where(ok, pmf * pdf_pos, 0.0),
+        light=jnp.where(ok, li, -1),
+    )
+    beta0 = (
+        Le
+        * vm.absdot(ng, w)[..., None]
+        / jnp.maximum(pmf * pdf_pos * pdf_dir, 1e-20)[..., None]
+    )
+    beta0 = jnp.where(ok[..., None], beta0, 0.0)
+    o = offset_ray_origin(p, ng, w, scene.ray_offset_scale)
+    surf, (ep_rev, first_v), smp = _walk(
+        scene, o, w, beta0, jnp.where(ok, pdf_dir, 0.0), wl, smp,
+        skind, spp, max_depth, False,
+    )
+    if first_v is not None:
+        w_b, dist2 = _dir_to(first_v.p, light_v.p)
+        cos_l = vm.absdot(light_v.ng, w_b)
+        light_v = light_v._replace(
+            pdf_rev=jnp.where(
+                _exists(first_v), ep_rev * cos_l / jnp.maximum(dist2, 1e-24), 0.0
+            )
+        )
+    return [light_v] + surf, smp
+
+
+# ---------------------------------------------------------------- MIS
+
+
+def _mis_weight(scene, light_vs, cam_vs, s, t, wl, sampled_v=None):
+    """MIS weight for strategy (s,t) (bdpt.cu:288-380): recompute the
+    junction pdf_revs functionally, then the ri pdf-ratio walks."""
+    if s + t == 2:
+        return jnp.ones(cam_vs[0].p.shape[:-1])
+
+    # working copies of the endpoints with strategy-updated pdf_rev
+    qs = sampled_v if (s == 1 and sampled_v is not None) else (light_vs[s - 1] if s > 0 else None)
+    pt = sampled_v if (t == 1 and sampled_v is not None) else cam_vs[t - 1]
+    qs_minus = light_vs[s - 2] if s > 1 else None
+    pt_minus = cam_vs[t - 2] if t > 1 else None
+
+    R = pt.p.shape[0]
+    tru = jnp.ones((R,), bool)
+
+    # pt.pdf_rev
+    if s > 0:
+        pt_rev = _vertex_pdf(scene, qs, qs_minus if qs_minus is not None else qs,
+                             pt, wl, jnp.full((R,), qs_minus is not None))
+        pt_rev = jnp.where(
+            qs.vtype == VT_LIGHT, _vertex_pdf_light(scene, qs, pt), pt_rev
+        )
+    else:
+        pt_rev = _vertex_pdf_light_origin(scene, pt)
+    pt = pt._replace(pdf_rev=pt_rev)
+
+    # pt_minus.pdf_rev
+    if pt_minus is not None:
+        if s > 0:
+            ptm_rev = _vertex_pdf(scene, pt, qs, pt_minus, wl, tru)
+        else:
+            ptm_rev = _vertex_pdf_light(scene, pt, pt_minus)
+        pt_minus = pt_minus._replace(pdf_rev=ptm_rev)
+
+    # qs.pdf_rev / qs_minus.pdf_rev
+    if s > 0:
+        qs = qs._replace(
+            pdf_rev=_vertex_pdf(scene, pt, pt_minus if pt_minus is not None else pt,
+                                qs, wl, jnp.full((R,), pt_minus is not None))
+        )
+        if qs_minus is not None:
+            qs_minus = qs_minus._replace(
+                pdf_rev=_vertex_pdf(scene, qs, pt, qs_minus, wl, tru)
+            )
+
+    # assemble effective vertex lists for the walks
+    cam_eff = list(cam_vs[:t])
+    cam_eff[t - 1] = pt
+    if t > 1:
+        cam_eff[t - 2] = pt_minus
+    light_eff = list(light_vs[:s])
+    if s > 0:
+        light_eff[s - 1] = qs
+    if s > 1:
+        light_eff[s - 2] = qs_minus
+
+    sum_ri = jnp.zeros((R,))
+    # camera walk: i = t-1 .. 1
+    ri = jnp.ones((R,))
+    for i in range(t - 1, 0, -1):
+        ri = ri * _remap0(cam_eff[i].pdf_rev) / _remap0(cam_eff[i].pdf_fwd)
+        prev_delta = cam_eff[i - 1].delta if i - 1 > 0 else jnp.zeros((R,), bool)
+        usable = ~cam_eff[i].delta & ~prev_delta & _exists(cam_eff[i])
+        sum_ri = sum_ri + jnp.where(usable, ri, 0.0)
+    # light walk: i = s-1 .. 0
+    ri = jnp.ones((R,))
+    for i in range(s - 1, -1, -1):
+        ri = ri * _remap0(light_eff[i].pdf_rev) / _remap0(light_eff[i].pdf_fwd)
+        prev_delta = light_eff[i - 1].delta if i - 1 >= 0 else jnp.zeros((R,), bool)
+        usable = ~light_eff[i].delta & ~prev_delta & _exists(light_eff[i])
+        sum_ri = sum_ri + jnp.where(usable, ri, 0.0)
+
+    return 1.0 / (1.0 + sum_ri)
+
+
+# ---------------------------------------------------------------- connect
+
+
+def _g_term(scene, a: V, b_v: V):
+    """Geometry term with visibility (bdpt.cu G())."""
+    w, dist2 = _dir_to(a.p, b_v.p)
+    cos_a = vm.absdot(a.ns, w)
+    cos_b = vm.absdot(b_v.ns, w)
+    cos_a = jnp.where(a.vtype == VT_SURFACE, cos_a, 1.0)
+    cos_b = jnp.where(b_v.vtype == VT_SURFACE, cos_b, 1.0)
+    g = cos_a * cos_b / jnp.maximum(dist2, 1e-24)
+    o_sh = offset_ray_origin(a.p, a.ng, w, scene.ray_offset_scale)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
+    occ = dispatch.occluded(scene, o_sh, w, dist * (1.0 - 1e-3))
+    return jnp.where(occ, 0.0, g)
+
+
+def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp):
+    """One (s,t) strategy (bdpt.cu connect_bdpt:612-721).
+    Returns (L (R,4), splat_raster (R,2) or None, smp)."""
+    R = cam_vs[0].p.shape[0]
+    zero = jnp.zeros((R, 4))
+    raster = None
+
+    if t > 1 and s != 0:
+        # skip strategies whose camera endpoint is itself an emitter? the
+        # reference keeps them but zeroes via Le; we keep them too
+        pass
+
+    if s == 0:
+        # camera path alone: pt must be an emitter
+        pt = cam_vs[t - 1]
+        prev = cam_vs[t - 2]
+        w_out, _ = _dir_to(pt.p, prev.p)
+        Le = lights.area_light_le(scene, pt.light, pt.ng, w_out, wl.lam)
+        L = pt.beta * Le
+        ok = _exists(pt) & (pt.light >= 0)
+        L = jnp.where(ok[..., None], L, 0.0)
+        weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl)
+        return L * weight[..., None], None, smp
+
+    if t == 1:
+        # connect light subpath to a lens sample -> splat
+        qs = light_vs[s - 1]
+        smp, u_lens = samplers.get_2d(smp, None, skind, spp)
+        wi, wv, pdf, p_raster, p_lens, cam_ok = perspective.sample_wi(scene, qs.p, u_lens)
+        f_qs = _vertex_f(scene, qs, _empty_vertex(R)._replace(p=p_lens), wl)
+        ns_cos = vm.absdot(qs.ns, wi)
+        L = qs.beta * f_qs * (wv / jnp.maximum(pdf, 1e-12))[..., None] * ns_cos[..., None]
+        # visibility
+        o_sh = offset_ray_origin(qs.p, qs.ng, wi, scene.ray_offset_scale)
+        dist = vm.distance(o_sh, p_lens)
+        occ = dispatch.occluded(scene, o_sh, wi, dist * (1.0 - 1e-3))
+        ok = _is_connectible(qs) & cam_ok & ~occ & jnp.any(f_qs > 0, -1)
+        L = jnp.where(ok[..., None], L, 0.0)
+        cam_sampled = _empty_vertex(R)._replace(
+            vtype=jnp.full((R,), VT_CAMERA, jnp.int32),
+            p=p_lens,
+            beta=(wv / jnp.maximum(pdf, 1e-12))[..., None] * jnp.ones((R, 4)),
+            pdf_fwd=jnp.ones((R,)),
+        )
+        weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl, sampled_v=cam_sampled)
+        return L * weight[..., None], p_raster, smp
+
+    if s == 1:
+        # sample a light point from the camera vertex (NEE-like)
+        pt = cam_vs[t - 1]
+        smp, u_pick = samplers.get_1d(smp, None, skind, spp)
+        cdf = jnp.cumsum(scene.lt_pmf)
+        li = jnp.clip(
+            jnp.searchsorted(cdf, u_pick, side="right").astype(jnp.int32),
+            0, scene.lt_pmf.shape[0] - 1,
+        )
+        pmf = scene.lt_pmf[li]
+        smp, u2 = samplers.get_2d(smp, None, skind, spp)
+        ls = lights.sample_li(scene, li, pt.p, pt.ns, u2, wl.lam, scene.scene_radius)
+        f_pt = _vertex_f(scene, pt, _empty_vertex(R)._replace(p=ls.p_light), wl)
+        cos_pt = vm.absdot(pt.ns, ls.wi)
+        L = (
+            pt.beta
+            * f_pt
+            * cos_pt[..., None]
+            * ls.L
+            / jnp.maximum(pmf * ls.pdf, 1e-20)[..., None]
+        )
+        o_sh = offset_ray_origin(pt.p, pt.ng, ls.wi, scene.ray_offset_scale)
+        dist = vm.distance(o_sh, ls.p_light)
+        occ = dispatch.occluded(scene, o_sh, ls.wi, dist * (1.0 - 1e-3))
+        ok = _is_connectible(pt) & ls.valid & ~occ & jnp.any(f_pt > 0, -1) & (ls.pdf > 0)
+        L = jnp.where(ok[..., None], L, 0.0)
+        light_sampled = _empty_vertex(R)._replace(
+            vtype=jnp.full((R,), VT_LIGHT, jnp.int32),
+            p=ls.p_light,
+            ng=ls.n_light,
+            ns=ls.n_light,
+            beta=ls.L / jnp.maximum(pmf * ls.pdf, 1e-20)[..., None],
+            pdf_fwd=_vertex_pdf_light_origin(
+                scene, _empty_vertex(R)._replace(light=li, p=ls.p_light)
+            ),
+            light=li,
+        )
+        weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl, sampled_v=light_sampled)
+        return L * weight[..., None], None, smp
+
+    # general s>1, t>1 connection
+    qs = light_vs[s - 1]
+    pt = cam_vs[t - 1]
+    f_qs = _vertex_f(scene, qs, pt, wl)
+    f_pt = _vertex_f(scene, pt, qs, wl)
+    g = _g_term(scene, qs, pt)
+    L = qs.beta * f_qs * f_pt * pt.beta * g[..., None]
+    ok = _is_connectible(qs) & _is_connectible(pt) & jnp.any(f_qs > 0, -1) & jnp.any(f_pt > 0, -1)
+    L = jnp.where(ok[..., None], L, 0.0)
+    weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl)
+    return L * weight[..., None], None, smp
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "skind", "spp"))
+def _jit_paths(scene, p_film, smp, wl, *, max_depth, skind, spp):
+    cam_vs, smp = camera_path(scene, p_film, smp, wl, max_depth, skind, spp)
+    light_vs, smp = light_path(scene, smp, wl, max_depth, skind, spp)
+    return cam_vs, light_vs, smp
+
+
+@functools.partial(jax.jit, static_argnames=("s", "t", "skind", "spp"))
+def _jit_connect(scene, light_vs, cam_vs, wl, smp, *, s, t, skind, spp):
+    return connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp)
+
+
+def li_bdpt_staged(scene, p_film, smp, wl, max_depth, skind, spp, res):
+    """BDPT estimate with per-stage jits: one compiled artifact per (s,t)
+    strategy instead of one monolithic graph (XLA:CPU's optimization passes
+    go superlinear on the merged version). Arrays stay on device between
+    stages."""
+    cam_vs, light_vs, smp = _jit_paths(
+        scene, p_film, smp, wl, max_depth=max_depth, skind=skind, spp=spp
+    )
+    R = p_film.shape[0]
+    L = jnp.zeros((R, 4))
+    splats = []
+    for t in range(1, len(cam_vs) + 1):
+        for st in range(0, len(light_vs) + 1):
+            depth = st + t - 2
+            if (st == 1 and t == 1) or depth < 0 or depth > max_depth:
+                continue
+            if t == 1 and st < 2:
+                continue
+            Lst, raster, smp = _jit_connect(
+                scene, light_vs, cam_vs, wl, smp, s=st, t=t, skind=skind, spp=spp
+            )
+            if t == 1:
+                px = jnp.clip(raster[..., 0].astype(jnp.int32), 0, res[0] - 1)
+                py = jnp.clip(raster[..., 1].astype(jnp.int32), 0, res[1] - 1)
+                splats.append((py * res[0] + px, Lst))
+            else:
+                L = L + Lst
+    return L, splats
+
+
+def li_bdpt(scene, p_film, pixel_ids, smp, wl, max_depth, skind, spp, res):
+    """Full BDPT estimate for a batch of film positions.
+    Returns (L (R,4), splat_pixels (K,R) ids, splat_L list) — splats are
+    returned per-strategy for the caller to scatter-add."""
+    cam_vs, smp = camera_path(scene, p_film, smp, wl, max_depth, skind, spp)
+    light_vs, smp = light_path(scene, smp, wl, max_depth, skind, spp)
+
+    R = p_film.shape[0]
+    L = jnp.zeros((R, 4))
+    splats = []
+    n_cam = len(cam_vs)
+    n_light = len(light_vs)
+    for t in range(1, n_cam + 1):
+        for s in range(0, n_light + 1):
+            depth = s + t - 2
+            if (s == 1 and t == 1) or depth < 0 or depth > max_depth:
+                continue
+            if t == 1 and s < 2:
+                continue  # t=1,s<2 covered by other strategies
+            Lst, raster, smp = connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp)
+            if t == 1:
+                px = jnp.clip(raster[..., 0].astype(jnp.int32), 0, res[0] - 1)
+                py = jnp.clip(raster[..., 1].astype(jnp.int32), 0, res[1] - 1)
+                splats.append((py * res[0] + px, Lst))
+            else:
+                L = L + Lst
+    return L, splats

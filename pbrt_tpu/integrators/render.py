@@ -31,16 +31,67 @@ def _li_fn(integrator):
     raise ValueError(f"integrator {integrator!r} not implemented yet")
 
 
+def _needs_res_y(integrator):
+    return integrator in ("bdpt", "mlt", "mltbdpt")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("res_x", "sampler_kind", "spp", "filter_kind"),
+)
+def _camera_sample(scene, pixel_ids, sample_idx, *, res_x, sampler_kind, spp,
+                   filter_kind):
+    """Filter-sampled film position + wavelengths + sampler state (shared by
+    the staged BDPT/MLT drivers)."""
+    r = samplers.start_pixel_sample(pixel_ids, jnp.full_like(pixel_ids, sample_idx))
+    r, u_pixel = samplers.get_pixel_2d(r, None, sampler_kind, spp)
+    fp, weight = filters.sample(scene.filt, filter_kind, u_pixel)
+    px = (pixel_ids % res_x).astype(jnp.float32)
+    py = (pixel_ids // res_x).astype(jnp.float32)
+    p_film = jnp.stack([px, py], axis=-1) + 0.5 + fp
+    r, u_lam = samplers.get_1d(r, None, sampler_kind, spp)
+    wl = sampled.sample_visible(u_lam)
+    return p_film, weight, wl, r
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _add_film(film, pixel_ids, L, lam, pdf, weight):
+    return filmlib.add_samples(film, pixel_ids, L, lam, pdf, weight)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _add_splat(film, pix, L, lam, pdf):
+    return filmlib.add_splats(film, pix, L, lam, pdf, jnp.ones(pix.shape[0]))
+
+
+def render_bdpt_sample(scene, film, pixel_ids, sample_idx, *, max_depth, res,
+                       sampler_kind, spp, filter_kind):
+    """One BDPT sample per pixel (staged jits; see bdpt.li_bdpt_staged)."""
+    from pbrt_tpu.integrators import bdpt as bdpt_mod
+
+    p_film, weight, wl, r = _camera_sample(
+        scene, pixel_ids, sample_idx, res_x=res[0], sampler_kind=sampler_kind,
+        spp=spp, filter_kind=filter_kind,
+    )
+    L, splats = bdpt_mod.li_bdpt_staged(
+        scene, p_film, r, wl, max_depth, sampler_kind, spp, res
+    )
+    film = _add_film(film, pixel_ids, L, wl.lam, wl.pdf, weight)
+    for pix, Ls in splats:
+        film = _add_splat(film, pix, Ls, wl.lam, wl.pdf)
+    return film
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_depth", "integrator", "use_lens", "res_x", "sampler_kind", "spp",
-        "filter_kind", "env_ids", "volumetric",
+        "max_depth", "integrator", "use_lens", "res_x", "res_y", "sampler_kind",
+        "spp", "filter_kind", "env_ids", "volumetric",
     ),
 )
 def render_sample_batch(
     scene, film, pixel_ids, sample_idx, *, max_depth, integrator, use_lens, res_x,
-    sampler_kind="independent", spp=0, filter_kind="box", env_ids=(),
+    res_y=0, sampler_kind="independent", spp=0, filter_kind="box", env_ids=(),
     volumetric=False,
 ):
     """Trace one sample for pixels pixel_ids (R,) and accumulate into film."""
@@ -87,6 +138,13 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False):
     for s in range(meta.spp):
         for t0 in range(0, n_pixels, tile):
             ids = jnp.arange(t0, min(t0 + tile, n_pixels), dtype=jnp.int32)
+            if meta.integrator == "bdpt":
+                film = render_bdpt_sample(
+                    scene, film, ids, s, max_depth=meta.max_depth,
+                    res=(res_x, res_y), sampler_kind=meta.sampler,
+                    spp=meta.spp, filter_kind=meta.filter_kind,
+                )
+                continue
             film = render_sample_batch(
                 scene,
                 film,
@@ -96,6 +154,7 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False):
                 integrator=meta.integrator,
                 use_lens=use_lens,
                 res_x=res_x,
+                res_y=res_y,
                 sampler_kind=meta.sampler,
                 spp=meta.spp,
                 filter_kind=meta.filter_kind,
@@ -105,7 +164,8 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False):
         if verbose:
             film.rgb_sum.block_until_ready()
             print(f"sample {s + 1}/{meta.spp}")
-    return filmlib.develop(film, meta.resolution)
+    splat_scale = 1.0 / meta.spp if meta.integrator in ("bdpt",) else 0.0
+    return filmlib.develop(film, meta.resolution, splat_scale=splat_scale)
 
 
 def render_to_png(scene, meta, out_path=None, **kw):

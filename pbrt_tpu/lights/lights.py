@@ -529,3 +529,107 @@ def disk_light_pdf_li(scene, light_idx, p_ref, hit_p, hit_n, wi):
     cos_l = vm.absdot(hit_n, -wi)
     pdf = d2 / jnp.maximum(area * jnp.maximum(cos_l, 1e-9), 1e-12)
     return jnp.where(jnp.isfinite(pdf), pdf, 0.0)
+
+
+# ------------------------------------------------------ light-path emission
+# (reference diffuse_area_light.cu:76-128 sample_le / pdf_le; BDPT light
+# subpath start. Only area emitters produce light subpaths here — other
+# light types yield valid=False and their transport flows through the
+# camera-path (s=0) strategies.)
+
+
+def _area_shape_sample(scene, light_idx, u2):
+    """Uniform-by-area point on the emitter shape -> (p, ng, area, valid)."""
+    li = jnp.maximum(light_idx, 0)
+    R = u2.shape[0]
+    p = jnp.zeros((R, 3))
+    n = jnp.zeros((R, 3)).at[..., 2].set(1.0)
+    area = jnp.ones((R,))
+    valid = jnp.zeros((R,), bool)
+    if int(scene.tri_p0.shape[0]) > 0:
+        tri = scene.lt_tri[li]
+        p0, p1, p2 = _tri_verts(scene, tri)
+        a_t, n_t = _tri_area_normal(p0, p1, p2)
+        b = warps.sample_uniform_triangle(u2)
+        p_t = b[..., 0:1] * p0 + b[..., 1:2] * p1 + b[..., 2:3] * p2
+        is_t = tri >= 0
+        p = jnp.where(is_t[..., None], p_t, p)
+        n = jnp.where(is_t[..., None], n_t, n)
+        area = jnp.where(is_t, a_t, area)
+        valid = valid | is_t
+    if int(scene.sph_center.shape[0]) > 0:
+        sph = scene.lt_sph[li]
+        sph_c = jnp.maximum(sph, 0)
+        n_s = warps.sample_uniform_sphere(u2)
+        c = scene.sph_center[sph_c]
+        rad = scene.sph_radius[sph_c]
+        p_s = c + rad[..., None] * n_s
+        a_s = 4.0 * jnp.pi * rad * rad
+        is_s = sph >= 0
+        p = jnp.where(is_s[..., None], p_s, p)
+        n = jnp.where(is_s[..., None], n_s, n)
+        area = jnp.where(is_s, a_s, area)
+        valid = valid | is_s
+    if int(scene.dsk_center.shape[0]) > 0:
+        dk = scene.lt_dsk[li]
+        dk_c = jnp.maximum(dk, 0)
+        c = scene.dsk_center[dk_c]
+        nd = scene.dsk_normal[dk_c]
+        rad = scene.dsk_radius[dk_c]
+        pd = warps.sample_uniform_disk_concentric(u2)
+        fx, fy, fz = vm.frame_from_z(nd)
+        p_d = c + fx * (pd[..., 0] * rad)[..., None] + fy * (pd[..., 1] * rad)[..., None]
+        a_d = jnp.pi * (rad * rad - scene.dsk_inner[dk_c] ** 2)
+        is_d = dk >= 0
+        p = jnp.where(is_d[..., None], p_d, p)
+        n = jnp.where(is_d[..., None], nd, n)
+        area = jnp.where(is_d, a_d, area)
+        valid = valid | is_d
+    return p, n, area, valid
+
+
+def sample_le(scene, light_idx, u_pos, u_dir, lam):
+    """Emit a photon ray from light light_idx.
+    -> (Le (R,4), p (R,3), ng (R,3), w (R,3), pdf_pos (R,), pdf_dir (R,),
+        valid (R,))."""
+    li = jnp.maximum(light_idx, 0)
+    is_area = scene.lt_type[li] == bd.LIGHT_AREA
+    p, ng, area, shape_ok = _area_shape_sample(scene, light_idx, u_pos)
+    pdf_pos = 1.0 / jnp.maximum(area, 1e-12)
+
+    two = scene.lt_twosided[li]
+    u0 = u_dir[..., 0]
+    flipside = two & (u0 >= 0.5)
+    u0r = jnp.where(two, jnp.where(u0 < 0.5, u0 * 2.0, (u0 - 0.5) * 2.0), u0)
+    u0r = jnp.minimum(u0r, 1.0 - 1e-7)
+    w_local = warps.sample_cosine_hemisphere(
+        jnp.stack([u0r, u_dir[..., 1]], axis=-1)
+    )
+    w_local = jnp.where(flipside[..., None], w_local * jnp.asarray([1.0, 1.0, -1.0]), w_local)
+    pdf_dir = warps.cosine_hemisphere_pdf(jnp.abs(w_local[..., 2]))
+    pdf_dir = jnp.where(two, pdf_dir / 2.0, pdf_dir)
+    fx, fy, fz = vm.frame_from_z(ng)
+    w = vm.from_local(fx, fy, fz, w_local)
+
+    Le = emission(scene, light_idx, lam)
+    front = w_local[..., 2] > 0.0
+    Le = jnp.where((front | two)[..., None], Le, 0.0)
+    valid = is_area & shape_ok & (pdf_dir > 0.0) & (light_idx >= 0)
+    return Le, p, ng, w, pdf_pos, pdf_dir, valid
+
+
+def pdf_le(scene, light_idx, ng, w):
+    """(pdf_pos, pdf_dir) for an emitted ray (diffuse_area_light.cu:123-128)."""
+    li = jnp.maximum(light_idx, 0)
+    _, _, area, _ = _area_shape_sample(
+        scene, light_idx, jnp.full(ng.shape[:-1] + (2,), 0.5)
+    )
+    pdf_pos = 1.0 / jnp.maximum(area, 1e-12)
+    two = scene.lt_twosided[li]
+    cosw = vm.dot(ng, w)
+    pdf_dir = jnp.where(
+        two,
+        warps.cosine_hemisphere_pdf(jnp.abs(cosw)) / 2.0,
+        warps.cosine_hemisphere_pdf(jnp.maximum(cosw, 0.0)),
+    )
+    return pdf_pos, pdf_dir

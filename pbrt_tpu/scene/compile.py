@@ -122,6 +122,9 @@ class SceneArrays(NamedTuple):
     render_from_camera: jnp.ndarray   # (4,4)
     camera_lens_radius: jnp.ndarray   # ()
     camera_focal_distance: jnp.ndarray
+    camera_A: jnp.ndarray             # () image plane area at z=1 (pdf_we)
+    camera_cos_total: jnp.ndarray     # () cos of the frustum corner angle
+    camera_res: jnp.ndarray           # (2,) i32 (we() raster bounds test)
     # constants
     scene_radius: jnp.ndarray    # ()
     ray_offset_scale: jnp.ndarray  # () epsilon used to offset spawned rays
@@ -385,6 +388,20 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
 
     filter_kind, filter_params, filt_tables = filterlib.build_filter(b.filter)
 
+    # camera importance constants (reference perspective.cu:43-63): area of
+    # the image rectangle projected to the z=1 plane + corner cosine
+    corners_raster = np.array(
+        [[0, 0, 0], [resolution[0], 0, 0], [0, resolution[1], 0],
+         [resolution[0], resolution[1], 0]], np.float64
+    )
+    corners_cam = (camera_from_raster[:3, :3] @ corners_raster.T).T + camera_from_raster[:3, 3]
+    corners_z1 = corners_cam[:, :2] / corners_cam[:, 2:3]
+    cam_A = float(
+        abs((corners_z1[1, 0] - corners_z1[0, 0]) * (corners_z1[2, 1] - corners_z1[0, 1]))
+    )
+    corner_dirs = corners_cam / np.linalg.norm(corners_cam, axis=-1, keepdims=True)
+    cos_total = float(corner_dirs[:, 2].min())
+
     arrays = SceneArrays(
         filt=filt_tables,
         tri_p0=jnp.asarray(tp[:, 0], jnp.float32),
@@ -469,6 +486,9 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         render_from_camera=jnp.asarray(render_from_camera, jnp.float32),
         camera_lens_radius=jnp.asarray(b.camera.get("lensradius", 0.0), jnp.float32),
         camera_focal_distance=jnp.asarray(b.camera.get("focaldistance", 1e6), jnp.float32),
+        camera_A=jnp.asarray(cam_A, jnp.float32),
+        camera_cos_total=jnp.asarray(cos_total, jnp.float32),
+        camera_res=jnp.asarray(np.array(resolution, np.int32)),
         scene_radius=jnp.asarray(radius, jnp.float32),
         ray_offset_scale=jnp.asarray(min(radius * 1e-5, 1e-3) / max(radius, 1e-6), jnp.float32),
     )
