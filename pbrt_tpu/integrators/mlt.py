@@ -1,0 +1,184 @@
+"""Metropolis light transport over primary sample space (Kelemen-style).
+
+Counterpart of reference integrators/mlt_path.{h,cu} (341 LoC) + the MLT
+sampler (samplers/mlt.{h,cu}): thousands of parallel Markov chains mutate a
+primary-sample vector; the path integrator's Li re-runs from the mutated
+vector each step; expected-value splatting writes both current and proposed
+states; global brightness b comes from a bootstrap phase.
+
+TPU design: chains = lanes. The whole mutation-evaluate-accept step is one
+jitted function; the MLT sampler is the `kind=="mlt"` branch of the shared
+Sampler (primary samples consumed by dimension index).
+
+mlt-bdpt ("mlt"/"mltbdpt"): same chains driving the staged BDPT estimator
+with the path depth chosen per mutation (mlt_bdpt.cu:169-199) is routed to
+this module too, currently using the path-space Li (documented gap:
+strategy-resolved BDPT mutations pending).
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.cameras import perspective
+from pbrt_tpu.film import film as filmlib
+from pbrt_tpu.integrators import path as path_integrator
+from pbrt_tpu.sampling import samplers, rng as prng
+from pbrt_tpu.spectral import sampled
+
+P_LARGE = 0.3     # large-step probability (mlt_path.cu:163)
+SIGMA = 0.01      # small-step mutation size (mlt_path.cu:164)
+N_CHAINS = 8192   # parallel Markov chains (mlt_path.cu:16)
+
+
+def _erfinv(x):
+    """Winitzki approximation (reference util/math.h erfinv)."""
+    x = jnp.clip(x, -0.99999, 0.99999)
+    a = 0.147
+    ln1mx2 = jnp.log(jnp.maximum((1.0 - x) * (1.0 + x), 1e-30))
+    term = 2.0 / (jnp.pi * a) + ln1mx2 / 2.0
+    return jnp.sign(x) * jnp.sqrt(
+        jnp.sqrt(jnp.maximum(term * term - ln1mx2 / a, 0.0)) - term
+    )
+
+
+def mutate(x, key, sigma=SIGMA, p_large=P_LARGE):
+    """One Kelemen mutation of the primary-sample matrix x (R, D).
+    key: jax PRNG key. Large step: fresh uniforms; small step: gaussian
+    perturbation with wrap-around (samplers/mlt.cu:4-88)."""
+    R, D = x.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    is_large = jax.random.uniform(k1, (R,)) < p_large
+    fresh = jax.random.uniform(k2, (R, D))
+    u = jax.random.uniform(k3, (R, D))
+    perturbed = x + sigma * jnp.sqrt(2.0) * _erfinv(2.0 * u - 1.0)
+    perturbed = perturbed - jnp.floor(perturbed)  # wrap to [0,1)
+    out = jnp.where(is_large[:, None], fresh, perturbed)
+    return jnp.clip(out, 0.0, 1.0 - 1e-7)
+
+
+def _luminance(L, lam, pdf):
+    rgb = filmlib.to_sensor_rgb(L, lam, pdf)
+    y = 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
+    return jnp.maximum(y, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_depth", "res_x", "res_y", "env_ids", "volumetric")
+)
+def eval_x(scene, x, *, max_depth, res_x, res_y, env_ids=(), volumetric=False):
+    """Evaluate the path-space Li from a primary-sample vector x (R, D).
+    Dims 0-1: film position; 2: wavelength; rest feed the path integrator.
+    Returns (rgb (R,3), luminance y (R,), pixel ids (R,))."""
+    R = x.shape[0]
+    px = x[:, 0] * res_x
+    py = x[:, 1] * res_y
+    p_film = jnp.stack([px, py], axis=-1)
+    wl = sampled.sample_visible(x[:, 2])
+    smp = samplers.from_primary_samples(x)
+    smp = smp._replace(dim=jnp.full((R,), 3, jnp.uint32))
+    rays = perspective.generate_rays(scene, p_film, jnp.zeros((R, 2)))
+    L, wl_out = path_integrator.li(
+        scene, rays, wl, smp, max_depth, skind="mlt", spp=0,
+        env_ids=env_ids, volumetric=volumetric,
+        camera_medium=scene.camera_medium,
+    )
+    rgb = filmlib.to_sensor_rgb(L, wl_out.lam, wl_out.pdf)
+    rgb = jnp.where(jnp.isfinite(rgb), rgb, 0.0)
+    y = 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
+    y = jnp.maximum(y, 0.0)
+    pix = (
+        jnp.clip(py.astype(jnp.int32), 0, res_y - 1) * res_x
+        + jnp.clip(px.astype(jnp.int32), 0, res_x - 1)
+    )
+    return rgb, y, pix
+
+
+@jax.jit
+def _accept_and_splat(splat, x_cur, x_prop, rgb_cur, rgb_prop, y_cur, y_prop,
+                      pix_cur, pix_prop, u_accept):
+    """Metropolis accept/reject + expected-value splats of both states
+    (mlt_path.cu:90-151)."""
+    a = jnp.where(y_cur > 0, jnp.minimum(1.0, y_prop / jnp.maximum(y_cur, 1e-12)), 1.0)
+    w_prop = a / jnp.maximum(y_prop, 1e-12)
+    w_cur = (1.0 - a) / jnp.maximum(y_cur, 1e-12)
+    splat = splat.at[pix_prop].add(
+        jnp.where((y_prop > 0)[:, None], rgb_prop * w_prop[:, None], 0.0)
+    )
+    splat = splat.at[pix_cur].add(
+        jnp.where((y_cur > 0)[:, None], rgb_cur * w_cur[:, None], 0.0)
+    )
+    accept = u_accept < a
+    x_new = jnp.where(accept[:, None], x_prop, x_cur)
+    rgb_new = jnp.where(accept[:, None], rgb_prop, rgb_cur)
+    y_new = jnp.where(accept, y_prop, y_cur)
+    pix_new = jnp.where(accept, pix_prop, pix_cur)
+    return splat, x_new, rgb_new, y_new, pix_new, a
+
+
+def render_mlt(scene, meta, n_chains=N_CHAINS, n_bootstrap=None, seed=0,
+               verbose=False):
+    """Full PSS-MLT render (mlt_path.cu:198-296). Returns (H, W, 3) RGB."""
+    res_x, res_y = meta.resolution
+    n_pixels = res_x * res_y
+    D = 16 + 10 * meta.max_depth
+    n_bootstrap = n_bootstrap or max(n_chains * 4, 1 << 16)
+    key = jax.random.PRNGKey(seed)
+
+    kw = dict(max_depth=meta.max_depth, res_x=res_x, res_y=res_y,
+              env_ids=meta.env_light_ids, volumetric=meta.volumetric)
+
+    # --- bootstrap: global brightness b + chain seeds (mlt_path.cu:198-238)
+    ys = []
+    xs = []
+    n_rounds = max(1, n_bootstrap // n_chains)
+    for i in range(n_rounds):
+        key, k = jax.random.split(key)
+        x = jax.random.uniform(k, (n_chains, D))
+        _, y, _ = eval_x(scene, x, **kw)
+        ys.append(y)
+        xs.append(x)
+    y_boot = jnp.concatenate(ys)
+    x_boot = jnp.concatenate(xs)
+    b = float(jnp.mean(y_boot))
+    if b <= 0:
+        raise ValueError("MLT bootstrap found no light-carrying paths")
+
+    # chain initial states ~ bootstrap luminance (alias table, host build)
+    from pbrt_tpu.distribution import distributions as dist
+
+    q, alias, _ = dist.alias_table_build(np.asarray(y_boot))
+    key, k = jax.random.split(key)
+    u_pick = jax.random.uniform(k, (n_chains,))
+    pick, _ = dist.alias_sample(jnp.asarray(q), jnp.asarray(alias), u_pick)
+    x_cur = x_boot[pick]
+    rgb_cur, y_cur, pix_cur = eval_x(scene, x_cur, **kw)
+
+    # --- mutation passes
+    total_mutations = meta.mutations_per_pixel * n_pixels
+    n_passes = max(1, total_mutations // n_chains)
+    splat = jnp.zeros((n_pixels, 3))
+    acc_sum = 0.0
+    for i in range(n_passes):
+        key, k1, k2 = jax.random.split(key, 3)
+        x_prop = mutate(x_cur, k1)
+        rgb_prop, y_prop, pix_prop = eval_x(scene, x_prop, **kw)
+        u_acc = jax.random.uniform(k2, (n_chains,))
+        splat, x_cur, rgb_cur, y_cur, pix_cur, a = _accept_and_splat(
+            splat, x_cur, x_prop, rgb_cur, rgb_prop, y_cur, y_prop,
+            pix_cur, pix_prop, u_acc,
+        )
+        if verbose and (i % 16 == 0):
+            acc_sum = float(a.mean())
+            print(f"pass {i + 1}/{n_passes} accept={acc_sum:.2f}")
+
+    # final scale: b / mutations_per_pixel (scene_builder.cu:1021)
+    mutations_done = n_passes * n_chains
+    scale = b * n_pixels / mutations_done
+    img = splat * scale
+
+    from pbrt_tpu.spectral import colorspace
+
+    out = colorspace.apply_matrix(colorspace.srgb().rgb_from_xyz, img)
+    return out.reshape(res_y, res_x, 3)

@@ -128,6 +128,10 @@ def render_sample_batch(
 
 def render(scene, meta, tile_rays=1 << 20, verbose=False):
     """Full render -> (H, W, 3) linear RGB jnp array."""
+    if meta.integrator in ("mltpath", "mlt", "mltbdpt"):
+        from pbrt_tpu.integrators import mlt as mlt_mod
+
+        return mlt_mod.render_mlt(scene, meta, verbose=verbose)
     res_x, res_y = meta.resolution
     n_pixels = res_x * res_y
     film = filmlib.new_film(meta.resolution)

@@ -31,6 +31,10 @@ class Sampler(NamedTuple):
     pixel: jnp.ndarray    # (R,) u32
     sample: jnp.ndarray   # (R,) u32
     dim: jnp.ndarray      # (R,) u32
+    # primary-sample-space vector for the MLT sampler (samplers/mlt.h):
+    # kind == "mlt" reads X[lane, dim] instead of the PCG32 stream; None for
+    # the ordinary samplers (a static pytree distinction)
+    mlt_x: object = None
 
 
 def start_pixel_sample(pixel_idx, sample_idx, dimension=0):
@@ -61,7 +65,17 @@ def _masked(s: Sampler, s2: Sampler, mask):
         pixel=s.pixel,
         sample=s.sample,
         dim=keep(s2.dim, s.dim),
+        mlt_x=s.mlt_x,
     )
+
+
+def from_primary_samples(x):
+    """MLT sampler over a mutated primary-sample vector x (R, D). Overflow
+    dims (beyond D) fall back to a PCG32 stream keyed by the lane."""
+    R = x.shape[0]
+    lanes = jnp.arange(R, dtype=jnp.uint32)
+    base = start_pixel_sample(lanes, jnp.zeros((R,), jnp.uint32))
+    return base._replace(mlt_x=x)
 
 
 def _uniform(s: Sampler):
@@ -71,6 +85,14 @@ def _uniform(s: Sampler):
 
 
 def get_1d(s: Sampler, mask=None, kind="independent", spp=0):
+    if kind == "mlt":
+        D = s.mlt_x.shape[1]
+        idx = jnp.minimum(s.dim.astype(jnp.int32), D - 1)
+        u_x = jnp.take_along_axis(s.mlt_x, idx[:, None], axis=1)[:, 0]
+        s2, u_rng = _uniform(s)  # overflow fallback (keeps streams aligned)
+        u = jnp.where(s.dim < D, u_x, u_rng)
+        s2 = s2._replace(dim=s.dim + jnp.uint32(1))
+        return _masked(s, s2, mask), u
     if kind == "independent":
         s2, u = _uniform(s)
         s2 = s2._replace(dim=s.dim + jnp.uint32(1))
@@ -86,6 +108,10 @@ def get_1d(s: Sampler, mask=None, kind="independent", spp=0):
 
 
 def get_2d(s: Sampler, mask=None, kind="independent", spp=0):
+    if kind == "mlt":
+        s, u1 = get_1d(s, mask, kind, spp)
+        s, u2 = get_1d(s, mask, kind, spp)
+        return s, jnp.stack([u1, u2], axis=-1)
     if kind == "independent":
         s1, u1 = _uniform(s)
         s2, u2 = _uniform(s1)
