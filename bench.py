@@ -37,23 +37,29 @@ def main():
     n_pixels = RES * RES
     pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
 
-    def one_sample(film, s):
+    # evaluate K samples per launch: pixels replicated K times with distinct
+    # sample indices — bigger batches keep the VPU fed and amortize dispatch
+    K = 4
+    ids_k = jnp.tile(pixel_ids, K)
+
+    def k_samples(film, s0):
+        sample_ids = jnp.repeat(jnp.arange(s0, s0 + K), n_pixels)
         return render_sample_batch(
-            scene, film, pixel_ids, s,
+            scene, film, ids_k, sample_ids,
             max_depth=meta.max_depth, integrator="path", use_lens=False, res_x=RES,
         )
 
     # warmup/compile
-    film = one_sample(film, 0)
+    film = k_samples(film, 0)
     film.rgb_sum.block_until_ready()
 
     t0 = time.perf_counter()
-    for s in range(1, SPP):
-        film = one_sample(film, s)
+    for s in range(1, SPP // K):
+        film = k_samples(film, s * K)
     film.rgb_sum.block_until_ready()
     dt = time.perf_counter() - t0
 
-    paths = n_pixels * (SPP - 1)
+    paths = n_pixels * (SPP - K)
     rays = paths * meta.max_depth * 2  # closest-hit + shadow per bounce
     rays_per_sec = rays / dt
     print(json.dumps({

@@ -94,8 +94,10 @@ def render_sample_batch(
     res_y=0, sampler_kind="independent", spp=0, filter_kind="box", env_ids=(),
     volumetric=False,
 ):
-    """Trace one sample for pixels pixel_ids (R,) and accumulate into film."""
-    r = samplers.start_pixel_sample(pixel_ids, jnp.full_like(pixel_ids, sample_idx))
+    """Trace one sample for pixels pixel_ids (R,) and accumulate into film.
+    sample_idx: scalar or per-lane (R,) sample indices (batched-spp mode)."""
+    sample_ids = jnp.broadcast_to(jnp.asarray(sample_idx, pixel_ids.dtype), pixel_ids.shape)
+    r = samplers.start_pixel_sample(pixel_ids, sample_ids)
 
     # camera sample: filter-sampled pixel offset (2d), lambda (1d), lens (2d,
     # only if lens). Draw order matches reference evaluate_pixel_sample
