@@ -17,6 +17,7 @@ Conventions follow PBRT-v4 / the reference:
 """
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from pbrt_tpu.utils.math import PI, INV_PI, sqr
@@ -387,6 +388,14 @@ def sample(p: BxdfParams, wo, uc, u2, allow_refl=True, allow_trans=True,
         pass  # all kinds can reflect
     eta_event = jnp.where(kind == K_DIELECTRIC, eta_diel, 1.0)
     valid &= pdf_out > 0.0
+    # Detached sampling (Zeltner et al. 2021 style): the sampled DIRECTION is
+    # treated as a constant of the differentiation — gradients w.r.t.
+    # roughness/albedo flow through f and pdf evaluated at the fixed wi, not
+    # through the warp. Differentiating the warp would chain d(wi)/d(alpha)
+    # into the *next bounce's* intersection geometry, whose Jacobians blow up
+    # at grazing configurations (sqrt of ~0 discriminants, ~0 triangle
+    # determinants) and NaN every shared-parameter gradient. Primal unchanged.
+    wi = jax.lax.stop_gradient(wi)
     return BSDFSample(f=f_out, wi=wi, pdf=pdf_out, flags=flags, eta=eta_event, valid=valid)
 
 
