@@ -1,0 +1,319 @@
+"""Bounding volume hierarchy over the triangle soup — TPU-native LBVH.
+
+Replaces the role of the reference HLBVH (accelerator/hlbvh.cu:172 build,
+:407-516 traversal; hlbvh.h:76-101 interface), redesigned for XLA:
+
+Build (host, numpy, scene-compile time — build is precompute, not the metric,
+matching SURVEY §7 Phase 1):
+  - triangles are sorted by the 30-bit morton code of their centroid
+    (reference hlbvh.cu:229 hlbvh_compute_morton_code) and PHYSICALLY
+    reordered so BVH leaves are contiguous runs — leaf intersection then
+    gathers coalesced rows;
+  - the soup is padded to P * K triangles (P a power of two) with degenerate
+    never-hit triangles, giving exactly P leaves of exactly K prims;
+  - the tree is the IMPLICIT complete binary tree over the P morton-ordered
+    chunks: children of node i live at 2i+1 / 2i+2, leaves are node ids
+    >= P-1. No child pointers at all — the only device arrays are the two
+    (2P-1, 3) bounds arrays, refit bottom-up on host. A median split in
+    morton order is the LBVH topology minus the variable-depth radix splits;
+    quality is within a few percent for the scene classes here and the
+    traversal loop is branch-free on node layout.
+
+Traversal (device, jit):
+  - vectorized over rays; per-ray state = current node + fixed-size stack
+    (depth = log2(P), known statically from the array shapes);
+  - near-child-first ordering + t_best shrinkage, like hlbvh.cu:459-516's
+    Stack<int,128> loop, but as a `lax.while_loop` over dense lanes;
+  - the loop returns only the DISCRETE winner (prim index); the
+    differentiable hit record (t, barycentrics) is recomputed outside the
+    loop with one per-lane watertight test. Reverse-mode AD cannot cross a
+    while_loop, so every loop input is stop_gradient'ed — the refit restores
+    the full gradient path through the winning primitive.
+"""
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.utils.math import INFINITY, encode_morton3, gamma
+from pbrt_tpu.geometry import intersect as ix
+
+# Leaf size: each leaf holds exactly K morton-consecutive triangles. Small K
+# keeps the per-iteration masked leaf work cheap (every while_loop iteration
+# pays node cost + K triangle tests on all lanes).
+LEAF_K = 4
+# Scenes below this triangle count use the dense all-pairs kernel instead.
+MIN_TRIS_FOR_BVH = 64
+
+
+class BvhBuild(NamedTuple):
+    """Host-side build result."""
+
+    node_min: np.ndarray   # (2P-1, 3) f32
+    node_max: np.ndarray   # (2P-1, 3) f32
+    perm: np.ndarray       # (T,) original-index of sorted triangle i
+    n_padded: np.ndarray   # T rounded up to P * K
+
+
+def build_bvh(p0, p1, p2, leaf_k=LEAF_K):
+    """Build the implicit LBVH over triangles (T, 3)x3 -> BvhBuild.
+
+    The caller must reorder all per-triangle scene columns by `perm` and pad
+    them to `n_padded` rows (degenerate rows: all three vertices equal never
+    pass the watertight test).
+    """
+    T = p0.shape[0]
+    cent = (p0 + p1 + p2) / 3.0
+    lo = cent.min(0)
+    hi = cent.max(0)
+    extent = np.maximum(hi - lo, 1e-30)
+    # 10 bits per dimension (reference hlbvh.cu MORTON_SCALE 1<<10)
+    q = np.clip(((cent - lo) / extent) * 1023.0, 0.0, 1023.0).astype(np.uint32)
+    codes = encode_morton3(q[:, 0], q[:, 1], q[:, 2])
+    perm = np.argsort(codes, kind="stable").astype(np.int32)
+
+    n_chunks = -(-T // leaf_k)
+    P = 1 << max(0, int(np.ceil(np.log2(max(n_chunks, 1)))))
+    n_padded = P * leaf_k
+
+    # sorted + padded vertex arrays just for bounds computation
+    def pad(v):
+        out = np.empty((n_padded, 3), v.dtype)
+        out[:T] = v[perm]
+        out[T:] = 0.0
+        return out
+
+    sp0, sp1, sp2 = pad(p0), pad(p1), pad(p2)
+    BIG = np.float32(3e38)
+    tri_lo = np.minimum(np.minimum(sp0, sp1), sp2)
+    tri_hi = np.maximum(np.maximum(sp0, sp1), sp2)
+    # padding rows get inverted boxes so they never enlarge a leaf
+    tri_lo[T:] = BIG
+    tri_hi[T:] = -BIG
+
+    n_nodes = 2 * P - 1
+    node_min = np.full((n_nodes, 3), BIG, np.float32)
+    node_max = np.full((n_nodes, 3), -BIG, np.float32)
+    # leaves: node id P-1+c covers chunk c = prims [c*K, (c+1)*K)
+    leaf_lo = tri_lo.reshape(P, leaf_k, 3).min(1)
+    leaf_hi = tri_hi.reshape(P, leaf_k, 3).max(1)
+    node_min[P - 1:] = leaf_lo
+    node_max[P - 1:] = leaf_hi
+    # internal bottom-up, level by level (vectorized)
+    level_start = P - 1
+    while level_start > 0:
+        parent_start = (level_start - 1) // 2
+        n_par = level_start - parent_start
+        kids_min = node_min[2 * parent_start + 1: 2 * parent_start + 1 + 2 * n_par]
+        kids_max = node_max[2 * parent_start + 1: 2 * parent_start + 1 + 2 * n_par]
+        node_min[parent_start:level_start] = np.minimum(
+            kids_min[0::2], kids_min[1::2]
+        )
+        node_max[parent_start:level_start] = np.maximum(
+            kids_max[0::2], kids_max[1::2]
+        )
+        level_start = parent_start
+
+    return BvhBuild(
+        node_min=node_min.astype(np.float32),
+        node_max=node_max.astype(np.float32),
+        perm=perm,
+        n_padded=n_padded,
+    )
+
+
+# --------------------------------------------------------------- traversal
+
+
+def _safe_inv(d):
+    """1/d that never emits 0*inf = NaN in the slab test."""
+    tiny = 1e-30
+    mag = jnp.maximum(jnp.abs(d), tiny)
+    return jnp.where(d < 0, -1.0, 1.0) / mag
+
+
+def _slab(o, inv_d, nmin, nmax, t_best):
+    """Robust AABB slab test (reference Bounds3f::fast_intersect used at
+    hlbvh.cu:429,485). Returns (t_near, hit)."""
+    t0 = (nmin - o) * inv_d
+    t1 = (nmax - o) * inv_d
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    tf = tf * (1.0 + 2.0 * gamma(3))
+    tn = jnp.maximum(tn, 0.0)
+    # the per-axis min/max swap would silently "repair" an INVERTED (empty
+    # padding) box, sending every ray through every fake subtree — reject
+    # them explicitly (padding inverts all axes; one is enough to test)
+    nonempty = nmin[..., 0] <= nmax[..., 0]
+    hit = nonempty & (tn <= tf) & (tf > 0.0) & (tn < t_best)
+    return tn, hit
+
+
+_DONE = jnp.int32(-1)
+
+
+def _traverse(node_min, node_max, tri_p0, tri_p1, tri_p2, o, d, t_max,
+              any_hit=False):
+    """Stack-based traversal over the implicit tree.
+
+    node_min/max: (2P-1, 3); tri_*: (P*K, 3) in leaf order.
+    o, d: (R, 3); t_max: (R,).
+    Returns (t (R,), prim (R,) i32, -1 on miss). Discrete only — call
+    intersect_tri_lanes on the winner for the differentiable record.
+    """
+    n_nodes = node_min.shape[0]
+    P = (n_nodes + 1) // 2
+    K = tri_p0.shape[0] // P
+    depth = max(1, int(np.log2(P)) + 1)
+    R = o.shape[0]
+
+    # the whole traversal is non-differentiable (discrete hit id); detach
+    # every input so AD never tries to transpose the while_loop
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    t_max = jax.lax.stop_gradient(t_max)
+    node_min = jax.lax.stop_gradient(node_min)
+    node_max = jax.lax.stop_gradient(node_max)
+    tri_p0 = jax.lax.stop_gradient(tri_p0)
+    tri_p1 = jax.lax.stop_gradient(tri_p1)
+    tri_p2 = jax.lax.stop_gradient(tri_p2)
+
+    inv_d = _safe_inv(d)
+
+    class _St(NamedTuple):
+        cur: jnp.ndarray      # (R,) node id or _DONE
+        sp: jnp.ndarray       # (R,) stack pointer
+        stack: jnp.ndarray    # (R, depth)
+        t_best: jnp.ndarray   # (R,)
+        prim: jnp.ndarray     # (R,)
+        it: jnp.ndarray       # () iteration counter (hard safety bound)
+
+    # root test
+    tn0, hit0 = _slab(o, inv_d, node_min[0], node_max[0], t_max)
+    st = _St(
+        cur=jnp.where(hit0, 0, _DONE),
+        sp=jnp.zeros((R,), jnp.int32),
+        stack=jnp.zeros((R, depth), jnp.int32),
+        t_best=t_max,
+        prim=jnp.full((R,), -1, jnp.int32),
+        it=jnp.int32(0),
+    )
+
+    slot_ids = jnp.arange(depth, dtype=jnp.int32)
+    # a single ray visits each node at most once; anything past 2 * n_nodes
+    # is a traversal bug — terminate rather than wedge the chip's watchdog
+    max_iters = jnp.int32(2 * n_nodes + 8)
+
+    def cond(st):
+        return jnp.any(st.cur != _DONE) & (st.it < max_iters)
+
+    def body(st):
+        live = st.cur != _DONE
+        cur = jnp.maximum(st.cur, 0)
+        is_leaf = live & (cur >= P - 1)
+
+        # ---- leaf: test its K contiguous prims (masked on non-leaf lanes)
+        t_best, prim = st.t_best, st.prim
+        off = (cur - (P - 1)) * K
+        for k in range(K):
+            idx = off + k
+            p0 = tri_p0[idx]
+            p1 = tri_p1[idx]
+            p2 = tri_p2[idx]
+            t_k, _, hit_k = ix.intersect_tri_lanes(o, d, t_best, p0, p1, p2)
+            better = is_leaf & hit_k & (t_k < t_best)
+            t_best = jnp.where(better, t_k, t_best)
+            prim = jnp.where(better, idx, prim)
+            if any_hit:
+                # shadow query: first hit wins; lane finishes below
+                pass
+
+        found = prim >= 0
+
+        # ---- internal: slab both children (masked on leaf lanes)
+        l = 2 * cur + 1
+        r = l + 1
+        l_c = jnp.minimum(l, n_nodes - 1)
+        r_c = jnp.minimum(r, n_nodes - 1)
+        tn_l, hit_l = _slab(o, inv_d, node_min[l_c], node_max[l_c], t_best)
+        tn_r, hit_r = _slab(o, inv_d, node_min[r_c], node_max[r_c], t_best)
+        is_int = live & ~is_leaf
+        hit_l &= is_int
+        hit_r &= is_int
+        l_near = tn_l <= tn_r
+        near = jnp.where(l_near, l_c, r_c)
+        far = jnp.where(l_near, r_c, l_c)
+        hit_near = jnp.where(l_near, hit_l, hit_r)
+        hit_far = jnp.where(l_near, hit_r, hit_l)
+        both = hit_near & hit_far
+
+        # push far where both children hit (per-lane scatter via one-hot)
+        stack = jnp.where(
+            (slot_ids[None, :] == st.sp[:, None]) & both[:, None],
+            far[:, None],
+            st.stack,
+        )
+        sp = st.sp + both.astype(jnp.int32)
+
+        # next node: descend if any child hit, else pop
+        descend = hit_near | hit_far
+        go = jnp.where(hit_near, near, far)
+        need_pop = live & (is_leaf | ~descend)
+        if any_hit:
+            # terminated lanes (shadow hit found) never pop again
+            need_pop &= ~found
+        can_pop = need_pop & (sp > 0)
+        sp_pop = jnp.maximum(sp - 1, 0)
+        popped = jnp.take_along_axis(stack, sp_pop[:, None], axis=1)[:, 0]
+        cur_next = jnp.where(
+            is_int & descend,
+            go,
+            jnp.where(can_pop, popped, _DONE),
+        )
+        if any_hit:
+            cur_next = jnp.where(found, _DONE, cur_next)
+        sp = jnp.where(can_pop, sp_pop, sp)
+        cur_next = jnp.where(live, cur_next, _DONE)
+
+        return _St(cur=cur_next, sp=sp, stack=stack, t_best=t_best, prim=prim,
+                   it=st.it + 1)
+
+    st = jax.lax.while_loop(cond, body, st)
+    return st.t_best, st.prim
+
+
+def closest_hit_tris(scene, o, d, t_max):
+    """BVH closest hit -> TriHit (same contract as intersect_tris_dense).
+
+    The returned t/bary are recomputed differentiably against the winning
+    triangle; prim indexes the LEAF-ORDERED triangle arrays (scene columns
+    are already stored in that order by the compiler).
+    """
+    t_disc, prim = _traverse(
+        scene.bvh_node_min, scene.bvh_node_max,
+        scene.tri_p0, scene.tri_p1, scene.tri_p2,
+        o, d, t_max,
+    )
+    found = prim >= 0
+    pc = jnp.maximum(prim, 0)
+    # differentiable refit: slightly enlarged t window re-admits the winner
+    t_ref, bary, hit_ref = ix.intersect_tri_lanes(
+        o, d, t_max, scene.tri_p0[pc], scene.tri_p1[pc], scene.tri_p2[pc]
+    )
+    ok = found & hit_ref
+    return ix.TriHit(
+        t=jnp.where(ok, t_ref, INFINITY),
+        prim=jnp.where(ok, prim, -1),
+        b=jnp.where(ok[..., None], bary, 0.0),
+    )
+
+
+def any_hit_tris(scene, o, d, t_max):
+    """BVH shadow query: True where some triangle blocks (R,)."""
+    _, prim = _traverse(
+        scene.bvh_node_min, scene.bvh_node_max,
+        scene.tri_p0, scene.tri_p1, scene.tri_p2,
+        o, d, t_max, any_hit=True,
+    )
+    return prim >= 0

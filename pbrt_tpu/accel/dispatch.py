@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from pbrt_tpu.utils.math import INFINITY
 from pbrt_tpu.geometry import vecmath as vm
 from pbrt_tpu.geometry import intersect as ix
+from pbrt_tpu.accel import bvh
 
 
 class SceneHit(NamedTuple):
@@ -40,9 +41,14 @@ def intersect(scene, o, d, t_max) -> SceneHit:
     have_sph = scene.sph_center.shape[0] > 0
     have_dsk = scene.dsk_center.shape[0] > 0
 
+    use_bvh = scene.bvh_node_min.shape[0] > 0  # static shape switch
+
     t_tri = jnp.full((R,), INFINITY)
     if have_tris:
-        th = ix.intersect_tris_dense(o, d, t_max, _tris(scene))
+        if use_bvh:
+            th = bvh.closest_hit_tris(scene, o, d, t_max)
+        else:
+            th = ix.intersect_tris_dense(o, d, t_max, _tris(scene))
         t_tri = th.t
     if have_sph:
         t_s, idx_s, p_s, n_s = ix.intersect_spheres_dense(o, d, t_max, ix.SphereSoA(scene.sph_center, scene.sph_radius))
@@ -149,7 +155,10 @@ def occluded(scene, o, d, t_max):
     """Any-hit between o and o + t_max*d (reference integrator_base unoccluded)."""
     occ = jnp.zeros(o.shape[:1], bool)
     if scene.tri_p0.shape[0] > 0:
-        occ |= ix.occluded_tris_dense(o, d, t_max, _tris(scene))
+        if scene.bvh_node_min.shape[0] > 0:
+            occ |= bvh.any_hit_tris(scene, o, d, t_max)
+        else:
+            occ |= ix.occluded_tris_dense(o, d, t_max, _tris(scene))
     if scene.sph_center.shape[0] > 0:
         t_s, idx_s, _, _ = ix.intersect_spheres_dense(
             o, d, t_max, ix.SphereSoA(scene.sph_center, scene.sph_radius)

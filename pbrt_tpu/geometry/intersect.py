@@ -37,46 +37,36 @@ def _max_dim(v):
     return jnp.argmax(jnp.abs(v), axis=-1)
 
 
-def intersect_tri_block(o, d, t_max, p0, p1, p2):
-    """Watertight ray/triangle test over a full (R, T) block.
+def _ray_shear(d):
+    """Per-ray permutation (kx, ky, kz) + shear constants (sx, sy, sz) so
+    |d_z| is the largest component after permuting (triangle.cu:220-247)."""
+    kz = _max_dim(d)
+    kx = (kz + 1) % 3
+    ky = (kx + 1) % 3
+    dp = jnp.take_along_axis(d, jnp.stack([kx, ky, kz], axis=-1), axis=-1)
+    dz_safe = clamp_mag(dp[..., 2], 1e-12)
+    sx = -dp[..., 0] / dz_safe
+    sy = -dp[..., 1] / dz_safe
+    sz = 1.0 / dz_safe
+    return kx, ky, kz, sx, sy, sz
 
-    o, d: (R, 3); t_max: (R,); p0/p1/p2: (T, 3).
-    Returns (t (R, T), b (R, T, 3), hit (R, T)).
+
+def _watertight_core(a, b, c, sx, sy, sz, t_max):
+    """Shared watertight test given translated+permuted vertices a/b/c
+    (..., 3) and shear constants broadcastable to (...,). Returns
+    (t, bary, hit) of shape (...,) / (..., 3).
 
     Same math as reference triangle.cu:213-323 (shear-transform +
     edge functions + conservative t bounds), minus the double-precision
     edge fallback (fp64 is not a TPU-native type; the shear form is already
     watertight along shared edges in fp32 for equal vertices).
     """
-    # Permute so |d_z| is the largest component (per-ray).
-    kz = _max_dim(d)  # (R,)
-    kx = (kz + 1) % 3
-    ky = (kx + 1) % 3
-
-    dp = jnp.take_along_axis(d, jnp.stack([kx, ky, kz], axis=-1), axis=-1)  # (R, 3)
-    dz_safe = clamp_mag(dp[..., 2], 1e-12)
-    sx = -dp[..., 0] / dz_safe
-    sy = -dp[..., 1] / dz_safe
-    sz = 1.0 / dz_safe  # (R,)
-
-    # Translate + permute triangle vertices: (R, T, 3)
-    def prep(pv):
-        rel = pv[None, :, :] - o[:, None, :]  # (R, T, 3)
-        idx = jnp.stack([kx, ky, kz], axis=-1)[:, None, :]  # (R,1,3)
-        idx = jnp.broadcast_to(idx, rel.shape)
-        return jnp.take_along_axis(rel, idx, axis=-1)
-
-    a = prep(p0)
-    b = prep(p1)
-    c = prep(p2)
-
-    # Shear x/y
-    ax = a[..., 0] + sx[:, None] * a[..., 2]
-    ay = a[..., 1] + sy[:, None] * a[..., 2]
-    bx = b[..., 0] + sx[:, None] * b[..., 2]
-    by = b[..., 1] + sy[:, None] * b[..., 2]
-    cx = c[..., 0] + sx[:, None] * c[..., 2]
-    cy = c[..., 1] + sy[:, None] * c[..., 2]
+    ax = a[..., 0] + sx * a[..., 2]
+    ay = a[..., 1] + sy * a[..., 2]
+    bx = b[..., 0] + sx * b[..., 2]
+    by = b[..., 1] + sy * b[..., 2]
+    cx = c[..., 0] + sx * c[..., 2]
+    cy = c[..., 1] + sy * c[..., 2]
 
     e0 = cx * by - cy * bx
     e1 = ax * cy - ay * cx
@@ -86,15 +76,15 @@ def intersect_tri_block(o, d, t_max, p0, p1, p2):
     det = e0 + e1 + e2
     hit &= det != 0.0
 
-    az = sz[:, None] * a[..., 2]
-    bz = sz[:, None] * b[..., 2]
-    cz = sz[:, None] * c[..., 2]
+    az = sz * a[..., 2]
+    bz = sz * b[..., 2]
+    cz = sz * c[..., 2]
     t_scaled = e0 * az + e1 * bz + e2 * cz
     neg_det = det < 0
     hit &= jnp.where(
         neg_det,
-        (t_scaled < 0) & (t_scaled > t_max[:, None] * det),
-        (t_scaled > 0) & (t_scaled < t_max[:, None] * det),
+        (t_scaled < 0) & (t_scaled > t_max * det),
+        (t_scaled > 0) & (t_scaled < t_max * det),
     )
 
     # clamp_mag: a subnormal det would make inv_det inf, and inf partials
@@ -121,6 +111,44 @@ def intersect_tri_block(o, d, t_max, p0, p1, p2):
 
     bary = jnp.stack([b0, b1, b2], axis=-1)
     return t, bary, hit
+
+
+def intersect_tri_block(o, d, t_max, p0, p1, p2):
+    """Watertight ray/triangle test over a full (R, T) block.
+
+    o, d: (R, 3); t_max: (R,); p0/p1/p2: (T, 3).
+    Returns (t (R, T), b (R, T, 3), hit (R, T)).
+    """
+    kx, ky, kz, sx, sy, sz = _ray_shear(d)
+
+    # Translate + permute triangle vertices: (R, T, 3)
+    def prep(pv):
+        rel = pv[None, :, :] - o[:, None, :]  # (R, T, 3)
+        idx = jnp.stack([kx, ky, kz], axis=-1)[:, None, :]  # (R,1,3)
+        idx = jnp.broadcast_to(idx, rel.shape)
+        return jnp.take_along_axis(rel, idx, axis=-1)
+
+    return _watertight_core(
+        prep(p0), prep(p1), prep(p2),
+        sx[:, None], sy[:, None], sz[:, None], t_max[:, None],
+    )
+
+
+def intersect_tri_lanes(o, d, t_max, p0, p1, p2):
+    """Per-lane watertight test: ray i against triangle i.
+
+    o, d, p0, p1, p2: (R, 3); t_max: (R,). Returns (t, bary, hit) of
+    shape (R,) / (R, 3). This is the BVH leaf kernel (each ray has
+    gathered its own candidate triangle) and the differentiable refit
+    kernel after traversal.
+    """
+    kx, ky, kz, sx, sy, sz = _ray_shear(d)
+    idx = jnp.stack([kx, ky, kz], axis=-1)
+
+    def prep(pv):
+        return jnp.take_along_axis(pv - o, idx, axis=-1)
+
+    return _watertight_core(prep(p0), prep(p1), prep(p2), sx, sy, sz, t_max)
 
 
 def intersect_tris_dense(o, d, t_max, tris: TriangleSoA) -> TriHit:

@@ -38,6 +38,10 @@ class SceneArrays(NamedTuple):
     tri_mat: jnp.ndarray
     tri_light: jnp.ndarray
     tri_rev: jnp.ndarray
+    # BVH over triangles (accel/bvh.py): implicit complete binary tree
+    # bounds; (0, 3) when the scene is small enough for the dense kernel
+    bvh_node_min: jnp.ndarray    # (2P-1, 3) f32
+    bvh_node_max: jnp.ndarray    # (2P-1, 3) f32
     # spheres
     sph_center: jnp.ndarray
     sph_radius: jnp.ndarray
@@ -205,6 +209,43 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         tn = np.zeros((0, 3, 3))
         tuv = np.zeros((0, 3, 2))
         has_n = np.zeros((0,), bool)
+    tri_mat = np.asarray(b.tri_mat, np.int32).reshape(T)
+    tri_light = np.asarray(b.tri_light, np.int32).reshape(T)
+    tri_rev = np.asarray(b.tri_rev, bool).reshape(T)
+    tri_med_arr = (
+        np.asarray(b.tri_med, np.int32).reshape(T, 2) if T else np.zeros((0, 2), np.int32)
+    )
+
+    # ---- BVH over the triangle soup (pbrt_tpu/accel/bvh.py): reorder all
+    # per-triangle columns into morton/leaf order and pad with degenerate
+    # never-hit rows; lt_tri indices are remapped below via tri_newpos.
+    from pbrt_tpu.accel import bvh as bvhlib
+
+    tri_newpos = np.arange(T, dtype=np.int32)  # old index -> row in emitted SoA
+    if T >= bvhlib.MIN_TRIS_FOR_BVH:
+        bvh = bvhlib.build_bvh(tp[:, 0], tp[:, 1], tp[:, 2])
+        n_pad = int(bvh.n_padded)
+        tri_newpos = np.empty(T, np.int32)
+        tri_newpos[bvh.perm] = np.arange(T, dtype=np.int32)
+
+        def reorder_pad(a, fill):
+            out = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
+            out[:T] = a[bvh.perm]
+            return out
+
+        tp = reorder_pad(tp, 0.0)
+        tn = reorder_pad(tn, 0.0)
+        tuv = reorder_pad(tuv, 0.0)
+        has_n = reorder_pad(has_n, False)
+        tri_mat = reorder_pad(tri_mat, -1)
+        tri_light = reorder_pad(tri_light, -1)
+        tri_rev = reorder_pad(tri_rev, False)
+        tri_med_arr = reorder_pad(tri_med_arr, -1)
+        bvh_node_min = bvh.node_min
+        bvh_node_max = bvh.node_max
+    else:
+        bvh_node_min = np.zeros((0, 3), np.float32)
+        bvh_node_max = np.zeros((0, 3), np.float32)
 
     # ---- spheres
     S = len(b.spheres)
@@ -281,7 +322,7 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
     med_sigma_a = np.stack([m["sigma_a"] for m in b.media]).astype(f32) if NM else np.zeros((0, cie.LAMBDA_RANGE), f32)
     med_sigma_s = np.stack([m["sigma_s"] for m in b.media]).astype(f32) if NM else np.zeros((0, cie.LAMBDA_RANGE), f32)
     med_g = np.array([m["g"] for m in b.media], f32) if NM else np.zeros((0,), f32)
-    tri_med = np.asarray(b.tri_med, np.int32).reshape(T, 2) if T else np.zeros((0, 2), np.int32)
+    tri_med = tri_med_arr
     sph_med = (np.asarray([sp.get("med", (-1, -1)) for sp in b.spheres], np.int32).reshape(S, 2)
                if S else np.zeros((0, 2), np.int32))
 
@@ -292,7 +333,10 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         lt_emission = np.stack([l.emission_dense for l in b.lights]).astype(f32)
         lt_scale = np.array([l.scale for l in b.lights], f32)
         lt_twosided = np.array([l.two_sided for l in b.lights])
-        lt_tri = np.array([l.tri_index for l in b.lights], np.int32)
+        lt_tri = np.array(
+            [tri_newpos[l.tri_index] if l.tri_index >= 0 else -1 for l in b.lights],
+            np.int32,
+        )
         lt_sph = np.array([l.sphere_index for l in b.lights], np.int32)
         lt_dsk = np.array([getattr(l, "disk_index", -1) for l in b.lights], np.int32)
         lt_direction = np.stack(
@@ -323,7 +367,7 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
     for i, l in enumerate(b.lights):
         le = float(np.mean(l.emission_dense)) * l.scale
         if l.type == bd.LIGHT_AREA and l.tri_index >= 0:
-            p = tp[l.tri_index]
+            p = tp[tri_newpos[l.tri_index]]
             area = 0.5 * np.linalg.norm(np.cross(p[1] - p[0], p[2] - p[0]))
             power[i] = np.pi * (2.0 if l.two_sided else 1.0) * area * le
         elif l.type == bd.LIGHT_AREA and l.sphere_index >= 0:
@@ -375,7 +419,8 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
     lt_pmf = (power / power.sum()).astype(f32) if L else np.zeros((0,), f32)
 
     # ---- scene bounds -> epsilon (reference scene_builder.cu:914-918)
-    all_pts = [tp.reshape(-1, 3)] if T else []
+    # tp[:T]: BVH padding rows are degenerate zeros, not scene geometry
+    all_pts = [tp[:T].reshape(-1, 3)] if T else []
     if S:
         all_pts.append(sph_center + sph_radius[:, None])
         all_pts.append(sph_center - sph_radius[:, None])
@@ -414,9 +459,11 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         tri_uv0=jnp.asarray(tuv[:, 0], jnp.float32),
         tri_uv1=jnp.asarray(tuv[:, 1], jnp.float32),
         tri_uv2=jnp.asarray(tuv[:, 2], jnp.float32),
-        tri_mat=jnp.asarray(np.asarray(b.tri_mat, np.int32)),
-        tri_light=jnp.asarray(np.asarray(b.tri_light, np.int32)),
-        tri_rev=jnp.asarray(np.asarray(b.tri_rev, bool)),
+        tri_mat=jnp.asarray(tri_mat),
+        tri_light=jnp.asarray(tri_light),
+        tri_rev=jnp.asarray(tri_rev),
+        bvh_node_min=jnp.asarray(bvh_node_min),
+        bvh_node_max=jnp.asarray(bvh_node_max),
         sph_center=jnp.asarray(sph_center, jnp.float32),
         sph_radius=jnp.asarray(sph_radius, jnp.float32),
         sph_mat=jnp.asarray(sph_mat),

@@ -59,6 +59,58 @@ AttributeEnd
 """
 
 
+def _octahedron_pbrt(cx, cy, cz, r, levels):
+    """Shape "loopsubdiv" text for an octahedron control cage -> ~8*4^levels
+    triangles after subdivision (approximates a sphere)."""
+    P = [
+        (cx + r, cy, cz), (cx - r, cy, cz),
+        (cx, cy + r, cz), (cx, cy - r, cz),
+        (cx, cy, cz + r), (cx, cy, cz - r),
+    ]
+    F = [
+        (0, 2, 4), (2, 1, 4), (1, 3, 4), (3, 0, 4),
+        (2, 0, 5), (1, 2, 5), (3, 1, 5), (0, 3, 5),
+    ]
+    pts = " ".join(f"{x} {y} {z}" for x, y, z in P)
+    idx = " ".join(f"{a} {b} {c}" for a, b, c in F)
+    return (
+        f'Shape "loopsubdiv" "integer levels" [{levels}] '
+        f'"integer indices" [{idx}] "point3 P" [{pts}]'
+    )
+
+
+def cornell_mesh_pbrt(levels=5):
+    """Cornell box with the two analytic spheres replaced by subdivided
+    triangle meshes — the BVH-path testbed (8 * 4^levels tris per ball;
+    levels=7 -> 262k total, staircase-class geometry per BASELINE.md #2)."""
+    ball1 = _octahedron_pbrt(400, 90, 350, 90, levels)
+    ball2 = _octahedron_pbrt(160, 90, 200, 90, levels)
+    txt = CORNELL_PBRT
+    txt = txt.replace(
+        'AttributeBegin\n  Material "conductor" "float roughness" [0.005]\n'
+        "  Translate 400 90 350\n"
+        '  Shape "sphere" "float radius" [90]\nAttributeEnd',
+        'AttributeBegin\n  Material "conductor" "float roughness" [0.005]\n'
+        f"  {ball1}\nAttributeEnd",
+    )
+    txt = txt.replace(
+        'AttributeBegin\n  Material "dielectric" "float eta" [1.5]\n'
+        "  Translate 160 90 200\n"
+        '  Shape "sphere" "float radius" [90]\nAttributeEnd',
+        'AttributeBegin\n  Material "dielectric" "float eta" [1.5]\n'
+        f"  {ball2}\nAttributeEnd",
+    )
+    return txt
+
+
+def cornell_mesh(res=128, spp=4, levels=5, integrator=None):
+    """-> (SceneArrays, SceneMeta): the BVH-exercising Cornell variant."""
+    b = bd.SceneBuilder()
+    b.parse_tokens(lx.tokenize(cornell_mesh_pbrt(levels)))
+    b.film["xresolution"] = b.film["yresolution"] = res
+    return compile_scene(b, spp_override=spp, integrator_override=integrator)
+
+
 def cornell_builder(res=128, spp=4):
     b = bd.SceneBuilder()
     b.parse_tokens(lx.tokenize(CORNELL_PBRT))

@@ -1,0 +1,149 @@
+"""BVH correctness: traversal must agree with the dense all-pairs kernel
+(VERDICT r1 item 2: "BVH vs dense produce identical SceneHits on randomized
+scenes"), and occlusion queries must match."""
+from types import SimpleNamespace
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pbrt_tpu.accel import bvh as bvhlib
+from pbrt_tpu.geometry import intersect as ix
+from pbrt_tpu.utils.math import INFINITY
+
+
+def _soup(rng, T, spread=10.0, size=0.7):
+    base = rng.uniform(-spread, spread, (T, 3)).astype(np.float32)
+    e1 = rng.normal(0, size, (T, 3)).astype(np.float32)
+    e2 = rng.normal(0, size, (T, 3)).astype(np.float32)
+    return base, base + e1, base + e2
+
+
+def _scene_of(p0, p1, p2):
+    build = bvhlib.build_bvh(p0, p1, p2)
+    n_pad = int(build.n_padded)
+    T = p0.shape[0]
+
+    def pad(v):
+        out = np.zeros((n_pad, 3), np.float32)
+        out[:T] = v[build.perm]
+        return out
+
+    return SimpleNamespace(
+        tri_p0=jnp.asarray(pad(p0)),
+        tri_p1=jnp.asarray(pad(p1)),
+        tri_p2=jnp.asarray(pad(p2)),
+        bvh_node_min=jnp.asarray(build.node_min),
+        bvh_node_max=jnp.asarray(build.node_max),
+    )
+
+
+@pytest.mark.parametrize("T", [70, 333, 2048])
+def test_bvh_matches_dense(rng, T):
+    p0, p1, p2 = _soup(rng, T)
+    scene = _scene_of(p0, p1, p2)
+
+    R = 512
+    o = rng.uniform(-15, 15, (R, 3)).astype(np.float32)
+    # aim at random triangle centroids (+ jitter) so most rays hit something
+    cent = ((p0 + p1 + p2) / 3.0)[rng.integers(0, T, R)]
+    d = cent + rng.normal(0, 0.3, (R, 3)).astype(np.float32) - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t_max = jnp.full((R,), INFINITY)
+
+    hb = bvhlib.closest_hit_tris(scene, o, d, t_max)
+    hd = ix.intersect_tris_dense(
+        o, d, t_max, ix.TriangleSoA(scene.tri_p0, scene.tri_p1, scene.tri_p2)
+    )
+
+    hit_b = np.asarray(hb.prim >= 0)
+    hit_d = np.asarray(hd.prim >= 0)
+    np.testing.assert_array_equal(hit_b, hit_d)
+    tb = np.asarray(hb.t)[hit_b]
+    td = np.asarray(hd.t)[hit_d]
+    # identical winner => bit-identical t (same watertight arithmetic); ties
+    # may pick a different but equally-near prim
+    np.testing.assert_allclose(tb, td, rtol=1e-6)
+    frac_hit = hit_b.mean()
+    assert frac_hit > 0.15, "test soup too sparse to be meaningful"
+
+
+def test_bvh_occluded_matches_dense(rng):
+    p0, p1, p2 = _soup(rng, 500)
+    scene = _scene_of(p0, p1, p2)
+
+    R = 512
+    o = rng.uniform(-15, 15, (R, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t_max = jnp.asarray(rng.uniform(0.5, 40.0, (R,)).astype(np.float32))
+
+    occ_b = np.asarray(bvhlib.any_hit_tris(scene, o, d, t_max))
+    occ_d = np.asarray(
+        ix.occluded_tris_dense(
+            o, d, t_max, ix.TriangleSoA(scene.tri_p0, scene.tri_p1, scene.tri_p2)
+        )
+    )
+    np.testing.assert_array_equal(occ_b, occ_d)
+
+
+def test_bvh_respects_t_max(rng):
+    p0, p1, p2 = _soup(rng, 200)
+    scene = _scene_of(p0, p1, p2)
+    R = 256
+    o = rng.uniform(-15, 15, (R, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    far = bvhlib.closest_hit_tris(scene, o, d, jnp.full((R,), INFINITY))
+    t_cut = jnp.where(far.prim >= 0, far.t * 0.5, 1.0)
+    near = bvhlib.closest_hit_tris(scene, o, d, t_cut)
+    # every reported hit must respect the cut
+    ok = np.asarray((near.prim < 0) | (near.t <= t_cut))
+    assert ok.all()
+
+
+def test_bvh_used_in_compiled_scene():
+    from pbrt_tpu.scene.testscenes import cornell, cornell_mesh
+
+    scene, meta = cornell(res=8, spp=1)
+    assert scene.bvh_node_min.shape[0] == 0  # small scene stays dense
+    scene2, meta2 = cornell_mesh(res=8, spp=1, levels=3)
+    assert scene2.bvh_node_min.shape[0] > 0
+    assert meta2.n_tris >= 1000
+
+
+def test_bvh_render_matches_dense_render():
+    """Full render through the path integrator: the compiled BVH scene and
+    the same scene with the BVH stripped (dense kernel over the identical
+    padded/leaf-ordered triangle arrays) must produce the same image."""
+    import jax.numpy as jnp
+    from pbrt_tpu.scene.testscenes import cornell_mesh
+    from pbrt_tpu.integrators.render import render_sample_batch
+    from pbrt_tpu.film import film as filmlib
+
+    res = 16
+    scene, meta = cornell_mesh(res=res, spp=1, levels=3)
+    scene_dense = scene._replace(
+        bvh_node_min=jnp.zeros((0, 3)), bvh_node_max=jnp.zeros((0, 3))
+    )
+    pix = jnp.arange(res * res, dtype=jnp.int32)
+
+    def render(sc):
+        film = filmlib.new_film((res, res))
+        film = render_sample_batch(
+            sc, film, pix, 0, max_depth=3, integrator="path",
+            use_lens=False, res_x=res,
+        )
+        return np.asarray(filmlib.develop(film, (res, res)))
+
+    img_b = render(scene)
+    img_d = render(scene_dense)
+    assert np.isfinite(img_b).all()
+    # identical RNG streams + identical winners => near-bit-equal; ties on
+    # shared edges may route to a different-but-equal prim, so allow a few
+    # ulps rather than exact equality
+    np.testing.assert_allclose(img_b, img_d, rtol=1e-4, atol=1e-5)
