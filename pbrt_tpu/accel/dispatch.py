@@ -15,6 +15,7 @@ from pbrt_tpu.utils.math import INFINITY
 from pbrt_tpu.geometry import vecmath as vm
 from pbrt_tpu.geometry import intersect as ix
 from pbrt_tpu.accel import bvh
+from pbrt_tpu.utils.gather import take_rows
 
 
 class SceneHit(NamedTuple):
@@ -71,17 +72,17 @@ def intersect(scene, o, d, t_max) -> SceneHit:
     # triangle hit record
     if have_tris:
         tri = jnp.maximum(th.prim, 0)
-        p0, p1, p2 = scene.tri_p0[tri], scene.tri_p1[tri], scene.tri_p2[tri]
+        p0, p1, p2 = take_rows(scene.tri_p0, tri), take_rows(scene.tri_p1, tri), take_rows(scene.tri_p2, tri)
         b = th.b
         p_t = b[..., 0:1] * p0 + b[..., 1:2] * p1 + b[..., 2:3] * p2
         ng_t = vm.normalize(vm.cross(p1 - p0, p2 - p0))
-        rev = scene.tri_rev[tri]
+        rev = take_rows(scene.tri_rev, tri)
         ng_t = jnp.where(rev[..., None], -ng_t, ng_t)
-        has_n = scene.tri_has_n[tri]
+        has_n = take_rows(scene.tri_has_n, tri)
         ns_t = vm.normalize(
-            b[..., 0:1] * scene.tri_n0[tri]
-            + b[..., 1:2] * scene.tri_n1[tri]
-            + b[..., 2:3] * scene.tri_n2[tri]
+            b[..., 0:1] * take_rows(scene.tri_n0, tri)
+            + b[..., 1:2] * take_rows(scene.tri_n1, tri)
+            + b[..., 2:3] * take_rows(scene.tri_n2, tri)
         )
         # faceforward geometric normal onto shading normal side (pbrt)
         ng_adj = jnp.where(
@@ -89,13 +90,13 @@ def intersect(scene, o, d, t_max) -> SceneHit:
         )
         ns_t = jnp.where(has_n[..., None], ns_t, ng_adj)
         uv_t = (
-            b[..., 0:1] * scene.tri_uv0[tri]
-            + b[..., 1:2] * scene.tri_uv1[tri]
-            + b[..., 2:3] * scene.tri_uv2[tri]
+            b[..., 0:1] * take_rows(scene.tri_uv0, tri)
+            + b[..., 1:2] * take_rows(scene.tri_uv1, tri)
+            + b[..., 2:3] * take_rows(scene.tri_uv2, tri)
         )
-        mat_t = scene.tri_mat[tri]
-        light_t = scene.tri_light[tri]
-        med_t = scene.tri_med[tri]
+        mat_t = take_rows(scene.tri_mat, tri)
+        light_t = take_rows(scene.tri_light, tri)
+        med_t = take_rows(scene.tri_med, tri)
     else:
         p_t = jnp.zeros((R, 3))
         ng_adj = jnp.zeros((R, 3))
@@ -107,8 +108,8 @@ def intersect(scene, o, d, t_max) -> SceneHit:
 
     if have_sph:
         sph = jnp.maximum(idx_s, 0)
-        mat_s = scene.sph_mat[sph]
-        light_s = scene.sph_light[sph]
+        mat_s = take_rows(scene.sph_mat, sph)
+        light_s = take_rows(scene.sph_light, sph)
         # sphere uv: spherical coords (phi, theta) — minimal v0
         uv_s = jnp.zeros((R, 2))
         p_hit = jnp.where(use_sphere[..., None], p_s, p_t)
@@ -117,7 +118,7 @@ def intersect(scene, o, d, t_max) -> SceneHit:
         uv = jnp.where(use_sphere[..., None], uv_s, uv_t)
         mat = jnp.where(use_sphere, mat_s, mat_t)
         light = jnp.where(use_sphere, light_s, light_t)
-        med = jnp.where(use_sphere[..., None], scene.sph_med[sph], med_t)
+        med = jnp.where(use_sphere[..., None], take_rows(scene.sph_med, sph), med_t)
     else:
         p_hit, ng, ns, uv, mat, light = p_t, ng_adj, ns_t, uv_t, mat_t, light_t
         med = med_t
@@ -127,9 +128,9 @@ def intersect(scene, o, d, t_max) -> SceneHit:
         p_hit = jnp.where(use_disk[..., None], p_d, p_hit)
         ng = jnp.where(use_disk[..., None], n_d, ng)
         ns = jnp.where(use_disk[..., None], n_d, ns)
-        mat = jnp.where(use_disk, scene.dsk_mat[dk], mat)
-        light = jnp.where(use_disk, scene.dsk_light[dk], light)
-        med = jnp.where(use_disk[..., None], scene.dsk_med[dk], med)
+        mat = jnp.where(use_disk, take_rows(scene.dsk_mat, dk), mat)
+        light = jnp.where(use_disk, take_rows(scene.dsk_light, dk), light)
+        med = jnp.where(use_disk[..., None], take_rows(scene.dsk_med, dk), med)
 
     # Sanitize miss lanes: a huge/inf position (t = "INFINITY" * d) would
     # poison reverse-mode gradients downstream — a zero cotangent through a

@@ -51,6 +51,22 @@ def add_samples(film: Film, pixel_idx, L, lam, pdf, weight):
     )
 
 
+def add_samples_tiled(film: Film, pixel_idx, L, lam, pdf, weight, k):
+    """add_samples for a lane grid that is `k` tiled replicates of
+    pixel_idx (R = k * n). The scatter-add is scalar-unit bound on TPU
+    (~30 ns/element); reducing the k replicates with a reshape-sum first
+    shrinks the scatter k-fold for free."""
+    rgb = to_sensor_rgb(L, lam, pdf)
+    rgb = jnp.where(jnp.isfinite(rgb), rgb, 0.0)
+    n = pixel_idx.shape[0]
+    rgb_w = (weight[..., None] * rgb).reshape(k, n, 3).sum(0)
+    w = weight.reshape(k, n).sum(0)
+    return film._replace(
+        rgb_sum=film.rgb_sum.at[pixel_idx].add(rgb_w),
+        weight_sum=film.weight_sum.at[pixel_idx].add(w),
+    )
+
+
 def add_splats(film: Film, pixel_idx, L, lam, pdf, weight):
     rgb = to_sensor_rgb(L, lam, pdf)
     rgb = jnp.where(jnp.isfinite(rgb), rgb, 0.0)

@@ -37,18 +37,31 @@ def _max_dim(v):
     return jnp.argmax(jnp.abs(v), axis=-1)
 
 
+def _permute_by_kz(v, kz):
+    """Cyclic component permutation (v[kz+1], v[kz+2], v[kz]) as branchless
+    selects. A take_along_axis here lowers to a per-element gather, which on
+    TPU runs on the scalar unit (~30 ns/element — measured 0.5 s per bounce
+    at 256k lanes); three jnp.where chains are pure VPU and effectively free.
+    v: (..., 3); kz broadcastable to v[..., 0]."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    is0 = kz == 0
+    is1 = kz == 1
+    px = jnp.where(is0, y, jnp.where(is1, z, x))
+    py = jnp.where(is0, z, jnp.where(is1, x, y))
+    pz = jnp.where(is0, x, jnp.where(is1, y, z))
+    return px, py, pz
+
+
 def _ray_shear(d):
-    """Per-ray permutation (kx, ky, kz) + shear constants (sx, sy, sz) so
-    |d_z| is the largest component after permuting (triangle.cu:220-247)."""
+    """Per-ray permutation axis kz + shear constants (sx, sy, sz) so |d_z|
+    is the largest component after permuting (triangle.cu:220-247)."""
     kz = _max_dim(d)
-    kx = (kz + 1) % 3
-    ky = (kx + 1) % 3
-    dp = jnp.take_along_axis(d, jnp.stack([kx, ky, kz], axis=-1), axis=-1)
-    dz_safe = clamp_mag(dp[..., 2], 1e-12)
-    sx = -dp[..., 0] / dz_safe
-    sy = -dp[..., 1] / dz_safe
+    dx, dy, dz = _permute_by_kz(d, kz)
+    dz_safe = clamp_mag(dz, 1e-12)
+    sx = -dx / dz_safe
+    sy = -dy / dz_safe
     sz = 1.0 / dz_safe
-    return kx, ky, kz, sx, sy, sz
+    return kz, sx, sy, sz
 
 
 def _watertight_core(a, b, c, sx, sy, sz, t_max):
@@ -119,14 +132,12 @@ def intersect_tri_block(o, d, t_max, p0, p1, p2):
     o, d: (R, 3); t_max: (R,); p0/p1/p2: (T, 3).
     Returns (t (R, T), b (R, T, 3), hit (R, T)).
     """
-    kx, ky, kz, sx, sy, sz = _ray_shear(d)
+    kz, sx, sy, sz = _ray_shear(d)
 
     # Translate + permute triangle vertices: (R, T, 3)
     def prep(pv):
         rel = pv[None, :, :] - o[:, None, :]  # (R, T, 3)
-        idx = jnp.stack([kx, ky, kz], axis=-1)[:, None, :]  # (R,1,3)
-        idx = jnp.broadcast_to(idx, rel.shape)
-        return jnp.take_along_axis(rel, idx, axis=-1)
+        return jnp.stack(_permute_by_kz(rel, kz[:, None]), axis=-1)
 
     return _watertight_core(
         prep(p0), prep(p1), prep(p2),
@@ -142,11 +153,10 @@ def intersect_tri_lanes(o, d, t_max, p0, p1, p2):
     gathered its own candidate triangle) and the differentiable refit
     kernel after traversal.
     """
-    kx, ky, kz, sx, sy, sz = _ray_shear(d)
-    idx = jnp.stack([kx, ky, kz], axis=-1)
+    kz, sx, sy, sz = _ray_shear(d)
 
     def prep(pv):
-        return jnp.take_along_axis(pv - o, idx, axis=-1)
+        return jnp.stack(_permute_by_kz(pv - o, kz), axis=-1)
 
     return _watertight_core(prep(p0), prep(p1), prep(p2), sx, sy, sz, t_max)
 

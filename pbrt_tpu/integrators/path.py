@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from pbrt_tpu.utils.math import INFINITY, power_heuristic
 from pbrt_tpu.geometry import vecmath as vm
+from pbrt_tpu.utils.gather import take_rows
 from pbrt_tpu.geometry.ray import offset_ray_origin
 from pbrt_tpu.accel import dispatch
 from pbrt_tpu.materials import materials, bxdfs, scattering as sc
@@ -54,6 +55,8 @@ class PathState(NamedTuple):
     medium: jnp.ndarray     # (R,) i32 current medium (-1 vacuum)
     trans_pdf: jnp.ndarray  # (R,4) accumulated transmittance pdf since last
                             # real scatter (megakernel_path.cu multi_transmittance_pdf)
+    n_closest: jnp.ndarray  # () f32 closest-hit rays actually traced (stats)
+    n_shadow: jnp.ndarray   # () f32 shadow rays actually traced (stats)
 
 
 def _pick_light(scene, u):
@@ -62,7 +65,7 @@ def _pick_light(scene, u):
     cdf = jnp.cumsum(scene.lt_pmf)
     idx = jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
     idx = jnp.clip(idx, 0, scene.lt_pmf.shape[0] - 1)
-    return idx, scene.lt_pmf[idx]
+    return idx, take_rows(scene.lt_pmf, idx)
 
 
 def _sigma_t(scene, medium, lam):
@@ -200,7 +203,8 @@ def bounce_step(scene, state: PathState, regularize=False, skind="independent", 
     active = active & ~killed
     rr_next = jnp.where(rr_due, state.rr_next + 1.0, state.rr_next)
 
-    # --- intersect
+    # --- intersect (honest ray accounting: only live lanes trace)
+    n_closest = state.n_closest + jnp.sum(active.astype(jnp.float32))
     t_max = jnp.full(state.o.shape[:1], INFINITY)
     hit = dispatch.intersect(scene, state.o, state.d, t_max)
     t_hit = jnp.where(hit.valid, hit.t, INFINITY)
@@ -283,7 +287,7 @@ def bounce_step(scene, state: PathState, regularize=False, skind="independent", 
     pdf_li = lights.area_light_pdf_li(
         scene, hit.light, state.prev_p, state.prev_ns, state.d, hit.p, hit.ng
     )
-    pmf_l = scene.lt_pmf[jnp.maximum(hit.light, 0)]
+    pmf_l = take_rows(scene.lt_pmf, jnp.maximum(hit.light, 0))
     w_area = jnp.where(
         (state.depth == 0.0) | state.specular,
         1.0,
@@ -340,6 +344,9 @@ def bounce_step(scene, state: PathState, regularize=False, skind="independent", 
             volumetric=volumetric,
         )
         L = jnp.where(nee_any[..., None], L + beta * ld, L)
+        n_shadow = state.n_shadow + jnp.sum(nee_any.astype(jnp.float32))
+    else:
+        n_shadow = state.n_shadow
 
     # --- medium continuation: HG phase resample (megakernel_path.cu:63-80)
     if has_media:
@@ -418,13 +425,17 @@ def bounce_step(scene, state: PathState, regularize=False, skind="independent", 
         ),
         medium=medium,
         trans_pdf=jnp.where(real_scatter[..., None], 1.0, trans_pdf),
+        n_closest=n_closest,
+        n_shadow=n_shadow,
     )
     return state2._replace(smp=r)
 
 
 def li(scene, rays, wl: sampled.Wavelengths, r, max_depth, regularize=False,
-       skind="independent", spp=0, env_ids=(), volumetric=False, camera_medium=None):
-    """Radiance for a batch of camera rays. Returns (L (R,4), wl)."""
+       skind="independent", spp=0, env_ids=(), volumetric=False, camera_medium=None,
+       return_stats=False):
+    """Radiance for a batch of camera rays. Returns (L (R,4), wl), plus a
+    {"closest", "shadow"} actually-traced ray-count dict if return_stats."""
     R = rays.o.shape[0]
     medium0 = (
         jnp.broadcast_to(jnp.asarray(camera_medium, jnp.int32), (R,))
@@ -448,6 +459,8 @@ def li(scene, rays, wl: sampled.Wavelengths, r, max_depth, regularize=False,
         prev_ns=jnp.zeros((R, 3)),
         medium=medium0,
         trans_pdf=jnp.ones((R, 4)),
+        n_closest=jnp.float32(0.0),
+        n_shadow=jnp.float32(0.0),
     )
 
     def body(i, s):
@@ -461,4 +474,6 @@ def li(scene, rays, wl: sampled.Wavelengths, r, max_depth, regularize=False,
     n_iters = max_depth if not volumetric else max_depth * 2 + 4
     state = jax.lax.fori_loop(0, n_iters, body, state)
     final_wl = sampled.Wavelengths(lam=state.lam, pdf=state.lam_pdf)
+    if return_stats:
+        return state.L, final_wl, {"closest": state.n_closest, "shadow": state.n_shadow}
     return state.L, final_wl

@@ -15,6 +15,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from pbrt_tpu.geometry import vecmath as vm
+from pbrt_tpu.utils.gather import take_rows
 from pbrt_tpu.sampling import warps
 from pbrt_tpu.spectral import spectra
 from pbrt_tpu.scene import builder as bd
@@ -40,7 +41,7 @@ def emission(scene, light_idx, lam):
     one-sided test, applied by callers)."""
     li = jnp.maximum(light_idx, 0)
     em = spectra.sample_table(scene.lt_emission, li, lam)
-    return em * scene.lt_scale[li][..., None]
+    return em * take_rows(scene.lt_scale, li)[..., None]
 
 
 def area_light_le(scene, light_idx, n, w, lam):
@@ -49,13 +50,13 @@ def area_light_le(scene, light_idx, n, w, lam):
     li = jnp.maximum(light_idx, 0)
     em = emission(scene, light_idx, lam)
     front = vm.dot(n, w) > 0.0
-    ok = front | scene.lt_twosided[li]
+    ok = front | take_rows(scene.lt_twosided, li)
     return jnp.where((ok & (light_idx >= 0))[..., None], em, 0.0)
 
 
 def _tri_verts(scene, tri_idx):
     t = jnp.maximum(tri_idx, 0)
-    return scene.tri_p0[t], scene.tri_p1[t], scene.tri_p2[t]
+    return take_rows(scene.tri_p0, t), take_rows(scene.tri_p1, t), take_rows(scene.tri_p2, t)
 
 
 def _tri_solid_angle(p0, p1, p2, p):
@@ -75,7 +76,7 @@ def sample_area_light_li(scene, light_idx, p_ref, ns_ref, u2):
     """Triangle-emitter Li sampling for lanes with an area light.
 
     Returns (p_light (R,3), n_light (R,3), pdf_sa (R,), valid)."""
-    tri = scene.lt_tri[jnp.maximum(light_idx, 0)]
+    tri = take_rows(scene.lt_tri, jnp.maximum(light_idx, 0))
     p0, p1, p2 = _tri_verts(scene, tri)
     area, n_geo = _tri_area_normal(p0, p1, p2)
     sa = _tri_solid_angle(p0, p1, p2, p_ref)
@@ -132,19 +133,19 @@ def area_light_pdf_li(scene, light_idx, p_ref, ns_ref, wi, hit_p, hit_n):
     li2 = jnp.maximum(light_idx, 0)
     if int(scene.sph_center.shape[0]) > 0:
         out = jnp.where(
-            scene.lt_sph[li2] >= 0,
+            take_rows(scene.lt_sph, li2) >= 0,
             sphere_light_pdf_li(scene, light_idx, p_ref, hit_p, hit_n, wi),
             out,
         )
     if int(scene.dsk_center.shape[0]) > 0:
         out = jnp.where(
-            scene.lt_dsk[li2] >= 0,
+            take_rows(scene.lt_dsk, li2) >= 0,
             disk_light_pdf_li(scene, light_idx, p_ref, hit_p, hit_n, wi),
             out,
         )
     if int(scene.tri_p0.shape[0]) == 0:
         return out
-    tri = scene.lt_tri[jnp.maximum(light_idx, 0)]
+    tri = take_rows(scene.lt_tri, jnp.maximum(light_idx, 0))
     p0, p1, p2 = _tri_verts(scene, tri)
     area, _ = _tri_area_normal(p0, p1, p2)
     sa = _tri_solid_angle(p0, p1, p2, p_ref)
@@ -172,13 +173,13 @@ def area_light_pdf_li(scene, light_idx, p_ref, ns_ref, wi, hit_p, hit_n):
     )
     pdfB = pdfB * jnp.where(has_ns, warps.bilinear_pdf(u_inv, w_corner), 1.0)
     tri_pdf = jnp.where(use_area, pdfA, pdfB)
-    return jnp.where(scene.lt_tri[jnp.maximum(light_idx, 0)] >= 0, tri_pdf, out)
+    return jnp.where(take_rows(scene.lt_tri, jnp.maximum(light_idx, 0)) >= 0, tri_pdf, out)
 
 
 def sample_li(scene, light_idx, p_ref, ns_ref, u2, lam, scene_radius):
     """Dispatch Li sampling over light type; light_idx (R,) into the table."""
     li = jnp.maximum(light_idx, 0)
-    ltype = scene.lt_type[li]
+    ltype = take_rows(scene.lt_type, li)
     em = emission(scene, light_idx, lam)
 
     # area emitters: triangles, spheres, disks (lt_tri/lt_sph/lt_dsk pick
@@ -191,14 +192,14 @@ def sample_li(scene, light_idx, p_ref, ns_ref, u2, lam, scene_radius):
         pdf_a = jnp.zeros(p_ref.shape[:-1])
         valid_a = jnp.zeros(p_ref.shape[:-1], bool)
     if int(scene.sph_center.shape[0]) > 0:
-        is_sph_l = scene.lt_sph[li] >= 0
+        is_sph_l = take_rows(scene.lt_sph, li) >= 0
         p_s2, n_s2, pdf_s2, valid_s2 = sample_sphere_light_li(scene, light_idx, p_ref, u2)
         p_a = jnp.where(is_sph_l[..., None], p_s2, p_a)
         n_a = jnp.where(is_sph_l[..., None], n_s2, n_a)
         pdf_a = jnp.where(is_sph_l, pdf_s2, pdf_a)
         valid_a = jnp.where(is_sph_l, valid_s2, valid_a)
     if int(scene.dsk_center.shape[0]) > 0:
-        is_dsk_l = scene.lt_dsk[li] >= 0
+        is_dsk_l = take_rows(scene.lt_dsk, li) >= 0
         p_d2, n_d2, pdf_d2, valid_d2 = sample_disk_light_li(scene, light_idx, p_ref, u2)
         p_a = jnp.where(is_dsk_l[..., None], p_d2, p_a)
         n_a = jnp.where(is_dsk_l[..., None], n_d2, n_a)
@@ -206,11 +207,11 @@ def sample_li(scene, light_idx, p_ref, ns_ref, u2, lam, scene_radius):
         valid_a = jnp.where(is_dsk_l, valid_d2, valid_a)
     wi_a = vm.normalize(p_a - p_ref)
     L_a = jnp.where(
-        (vm.dot(n_a, -wi_a) > 0.0) | scene.lt_twosided[li], 1.0, 0.0
+        (vm.dot(n_a, -wi_a) > 0.0) | take_rows(scene.lt_twosided, li), 1.0, 0.0
     )[..., None] * em
 
     # distant: wi = light direction, pseudo-position 2*radius away
-    wi_d = scene.lt_direction[li]
+    wi_d = take_rows(scene.lt_direction, li)
     p_d = p_ref + wi_d * (2.0 * scene_radius)
 
     # uniform infinite: uniform sphere direction
@@ -219,13 +220,13 @@ def sample_li(scene, light_idx, p_ref, ns_ref, u2, lam, scene_radius):
     p_u = p_ref + wi_u * (2.0 * scene_radius)
 
     # spot: delta position; wi towards light position
-    to_spot = scene.lt_position[li] - p_ref
+    to_spot = take_rows(scene.lt_position, li) - p_ref
     d2_spot = vm.length_squared(to_spot)
     wi_s = to_spot / jnp.sqrt(jnp.maximum(d2_spot, 1e-24))[..., None]
-    cos_spot = vm.dot(-wi_s, scene.lt_direction[li])
+    cos_spot = vm.dot(-wi_s, take_rows(scene.lt_direction, li))
     from pbrt_tpu.utils.math import smoothstep
 
-    falloff = smoothstep(cos_spot, scene.lt_cos_end[li], scene.lt_cos_start[li])
+    falloff = smoothstep(cos_spot, take_rows(scene.lt_cos_end, li), take_rows(scene.lt_cos_start, li))
     L_s = em * (falloff / jnp.maximum(d2_spot, 1e-12))[..., None]
 
     is_area = ltype == bd.LIGHT_AREA
@@ -263,7 +264,7 @@ def sample_li(scene, light_idx, p_ref, ns_ref, u2, lam, scene_radius):
         p_a,
         jnp.where(
             is_spot[..., None],
-            scene.lt_position[li],
+            take_rows(scene.lt_position, li),
             jnp.where(
                 is_distant[..., None], p_d, jnp.where(is_env[..., None], p_e, p_u)
             ),
@@ -304,9 +305,9 @@ def uniform_infinite_pdf_li():
 def _env_fetch(scene, li, px, py):
     """Octahedral-wrap texel fetch from the env atlas
     (gpu_image.cu:20-50 OctahedralSphere remap)."""
-    w = scene.lt_env_w[li]
-    h = scene.lt_env_h[li]
-    off = jnp.maximum(scene.lt_env_off[li], 0)
+    w = take_rows(scene.lt_env_w, li)
+    h = take_rows(scene.lt_env_h, li)
+    off = jnp.maximum(take_rows(scene.lt_env_off, li), 0)
     # mirror across edges
     neg_x = px < 0
     big_x = px >= w
@@ -323,8 +324,8 @@ def _env_fetch(scene, li, px, py):
 
 def env_bilerp_rgb(scene, li, uv):
     """Bilinear env-map fetch at octahedral uv (R,2) -> rgb (R,3)."""
-    w = scene.lt_env_w[li].astype(jnp.float32)
-    h = scene.lt_env_h[li].astype(jnp.float32)
+    w = take_rows(scene.lt_env_w, li).astype(jnp.float32)
+    h = take_rows(scene.lt_env_h, li).astype(jnp.float32)
     x = uv[..., 0] * w - 0.5
     y = uv[..., 1] * h - 0.5
     xi = jnp.floor(x).astype(jnp.int32)
@@ -351,7 +352,7 @@ def env_image_le(scene, li, uv, lam):
     c = rgb2spec.rgb_to_coefficients(rgb_n)
     sig = spectra.sigmoid_polynomial(c, lam)
     illum = spectra.sample_dense(jnp.asarray(cie.illum_d65(), jnp.float32), lam)
-    return sig * s[..., None] * illum * scene.lt_scale[li][..., None]
+    return sig * s[..., None] * illum * take_rows(scene.lt_scale, li)[..., None]
 
 
 def env_le(scene, li, d_render, lam):
@@ -360,7 +361,7 @@ def env_le(scene, li, d_render, lam):
     from pbrt_tpu.sampling import warps
 
     w_light = vm.normalize(
-        jnp.einsum("rij,rj->ri", scene.lt_l_from_r[li], d_render)
+        jnp.einsum("rij,rj->ri", take_rows(scene.lt_l_from_r, li), d_render)
     )
     uv = warps.equal_area_sphere_to_square(w_light)
     return env_image_le(scene, li, uv, lam)
@@ -371,9 +372,9 @@ def env_sample_li(scene, li, p_ref, u2, lam, scene_radius):
     Returns (L, wi, pdf, p_light)."""
     from pbrt_tpu.sampling import warps
 
-    w = scene.lt_env_w[li]
-    h = scene.lt_env_h[li]
-    off = jnp.maximum(scene.lt_env_off[li], 0)
+    w = take_rows(scene.lt_env_w, li)
+    h = take_rows(scene.lt_env_h, li)
+    off = jnp.maximum(take_rows(scene.lt_env_off, li), 0)
     n = jnp.maximum(w * h, 1)
 
     # segment-aware alias sample (distribution/distributions.py logic inline
@@ -399,7 +400,7 @@ def env_sample_li(scene, li, p_ref, u2, lam, scene_radius):
     pdf = map_pdf / (4.0 * jnp.pi)              # solid-angle density
 
     w_light = warps.equal_area_square_to_sphere(uv)
-    wi = vm.normalize(jnp.einsum("rij,rj->ri", scene.lt_r_from_l[li], w_light))
+    wi = vm.normalize(jnp.einsum("rij,rj->ri", take_rows(scene.lt_r_from_l, li), w_light))
     L = env_image_le(scene, li, uv, lam)
     p_light = p_ref + wi * (2.0 * scene_radius)
     return L, wi, pdf, p_light
@@ -410,11 +411,11 @@ def env_pdf_li(scene, li, w_render):
     image_infinite_light.cu:134-141)."""
     from pbrt_tpu.sampling import warps
 
-    w = scene.lt_env_w[li]
-    h = scene.lt_env_h[li]
-    off = jnp.maximum(scene.lt_env_off[li], 0)
+    w = take_rows(scene.lt_env_w, li)
+    h = take_rows(scene.lt_env_h, li)
+    off = jnp.maximum(take_rows(scene.lt_env_off, li), 0)
     n = jnp.maximum(w * h, 1)
-    w_light = vm.normalize(jnp.einsum("rij,rj->ri", scene.lt_l_from_r[li], w_render))
+    w_light = vm.normalize(jnp.einsum("rij,rj->ri", take_rows(scene.lt_l_from_r, li), w_render))
     uv = warps.equal_area_sphere_to_square(w_light)
     tx = jnp.clip((uv[..., 0] * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
     ty = jnp.clip((uv[..., 1] * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
@@ -430,9 +431,9 @@ def env_pdf_li(scene, li, w_render):
 def sample_sphere_light_li(scene, light_idx, p_ref, u2):
     """-> (p_light, n_light, pdf (solid angle), valid)."""
     li = jnp.maximum(light_idx, 0)
-    sph = jnp.maximum(scene.lt_sph[li], 0)
-    c = scene.sph_center[sph]
-    rad = scene.sph_radius[sph]
+    sph = jnp.maximum(take_rows(scene.lt_sph, li), 0)
+    c = take_rows(scene.sph_center, sph)
+    rad = take_rows(scene.sph_radius, sph)
     to_c = c - p_ref
     dist2 = vm.length_squared(to_c)
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
@@ -483,9 +484,9 @@ def sample_sphere_light_li(scene, light_idx, p_ref, u2):
 
 def sphere_light_pdf_li(scene, light_idx, p_ref, hit_p, hit_n, wi):
     li = jnp.maximum(light_idx, 0)
-    sph = jnp.maximum(scene.lt_sph[li], 0)
-    c = scene.sph_center[sph]
-    rad = scene.sph_radius[sph]
+    sph = jnp.maximum(take_rows(scene.lt_sph, li), 0)
+    c = take_rows(scene.sph_center, sph)
+    rad = take_rows(scene.sph_radius, sph)
     dist2 = vm.length_squared(c - p_ref)
     inside = dist2 <= rad * rad
     sin2_max = (rad * rad) / jnp.maximum(dist2, 1e-24)
@@ -504,14 +505,14 @@ def sample_disk_light_li(scene, light_idx, p_ref, u2):
     from pbrt_tpu.sampling import warps
 
     li = jnp.maximum(light_idx, 0)
-    dk = jnp.maximum(scene.lt_dsk[li], 0)
-    c = scene.dsk_center[dk]
-    n = scene.dsk_normal[dk]
-    rad = scene.dsk_radius[dk]
+    dk = jnp.maximum(take_rows(scene.lt_dsk, li), 0)
+    c = take_rows(scene.dsk_center, dk)
+    n = take_rows(scene.dsk_normal, dk)
+    rad = take_rows(scene.dsk_radius, dk)
     pd = warps.sample_uniform_disk_concentric(u2)
     fx, fy, fz = vm.frame_from_z(n)
     p_l = c + fx * (pd[..., 0] * rad)[..., None] + fy * (pd[..., 1] * rad)[..., None]
-    area = jnp.pi * (rad * rad - scene.dsk_inner[dk] ** 2)
+    area = jnp.pi * (rad * rad - take_rows(scene.dsk_inner, dk) ** 2)
     wi = vm.normalize(p_l - p_ref)
     d2 = vm.length_squared(p_l - p_ref)
     cos_l = vm.absdot(n, -wi)
@@ -522,9 +523,9 @@ def sample_disk_light_li(scene, light_idx, p_ref, u2):
 
 def disk_light_pdf_li(scene, light_idx, p_ref, hit_p, hit_n, wi):
     li = jnp.maximum(light_idx, 0)
-    dk = jnp.maximum(scene.lt_dsk[li], 0)
-    rad = scene.dsk_radius[dk]
-    area = jnp.pi * (rad * rad - scene.dsk_inner[dk] ** 2)
+    dk = jnp.maximum(take_rows(scene.lt_dsk, li), 0)
+    rad = take_rows(scene.dsk_radius, dk)
+    area = jnp.pi * (rad * rad - take_rows(scene.dsk_inner, dk) ** 2)
     d2 = vm.length_squared(hit_p - p_ref)
     cos_l = vm.absdot(hit_n, -wi)
     pdf = d2 / jnp.maximum(area * jnp.maximum(cos_l, 1e-9), 1e-12)
@@ -547,7 +548,7 @@ def _area_shape_sample(scene, light_idx, u2):
     area = jnp.ones((R,))
     valid = jnp.zeros((R,), bool)
     if int(scene.tri_p0.shape[0]) > 0:
-        tri = scene.lt_tri[li]
+        tri = take_rows(scene.lt_tri, li)
         p0, p1, p2 = _tri_verts(scene, tri)
         a_t, n_t = _tri_area_normal(p0, p1, p2)
         b = warps.sample_uniform_triangle(u2)
@@ -558,11 +559,11 @@ def _area_shape_sample(scene, light_idx, u2):
         area = jnp.where(is_t, a_t, area)
         valid = valid | is_t
     if int(scene.sph_center.shape[0]) > 0:
-        sph = scene.lt_sph[li]
+        sph = take_rows(scene.lt_sph, li)
         sph_c = jnp.maximum(sph, 0)
         n_s = warps.sample_uniform_sphere(u2)
-        c = scene.sph_center[sph_c]
-        rad = scene.sph_radius[sph_c]
+        c = take_rows(scene.sph_center, sph_c)
+        rad = take_rows(scene.sph_radius, sph_c)
         p_s = c + rad[..., None] * n_s
         a_s = 4.0 * jnp.pi * rad * rad
         is_s = sph >= 0
@@ -571,15 +572,15 @@ def _area_shape_sample(scene, light_idx, u2):
         area = jnp.where(is_s, a_s, area)
         valid = valid | is_s
     if int(scene.dsk_center.shape[0]) > 0:
-        dk = scene.lt_dsk[li]
+        dk = take_rows(scene.lt_dsk, li)
         dk_c = jnp.maximum(dk, 0)
-        c = scene.dsk_center[dk_c]
-        nd = scene.dsk_normal[dk_c]
-        rad = scene.dsk_radius[dk_c]
+        c = take_rows(scene.dsk_center, dk_c)
+        nd = take_rows(scene.dsk_normal, dk_c)
+        rad = take_rows(scene.dsk_radius, dk_c)
         pd = warps.sample_uniform_disk_concentric(u2)
         fx, fy, fz = vm.frame_from_z(nd)
         p_d = c + fx * (pd[..., 0] * rad)[..., None] + fy * (pd[..., 1] * rad)[..., None]
-        a_d = jnp.pi * (rad * rad - scene.dsk_inner[dk_c] ** 2)
+        a_d = jnp.pi * (rad * rad - take_rows(scene.dsk_inner, dk_c) ** 2)
         is_d = dk >= 0
         p = jnp.where(is_d[..., None], p_d, p)
         n = jnp.where(is_d[..., None], nd, n)
@@ -593,11 +594,11 @@ def sample_le(scene, light_idx, u_pos, u_dir, lam):
     -> (Le (R,4), p (R,3), ng (R,3), w (R,3), pdf_pos (R,), pdf_dir (R,),
         valid (R,))."""
     li = jnp.maximum(light_idx, 0)
-    is_area = scene.lt_type[li] == bd.LIGHT_AREA
+    is_area = take_rows(scene.lt_type, li) == bd.LIGHT_AREA
     p, ng, area, shape_ok = _area_shape_sample(scene, light_idx, u_pos)
     pdf_pos = 1.0 / jnp.maximum(area, 1e-12)
 
-    two = scene.lt_twosided[li]
+    two = take_rows(scene.lt_twosided, li)
     u0 = u_dir[..., 0]
     flipside = two & (u0 >= 0.5)
     u0r = jnp.where(two, jnp.where(u0 < 0.5, u0 * 2.0, (u0 - 0.5) * 2.0), u0)
@@ -625,7 +626,7 @@ def pdf_le(scene, light_idx, ng, w):
         scene, light_idx, jnp.full(ng.shape[:-1] + (2,), 0.5)
     )
     pdf_pos = 1.0 / jnp.maximum(area, 1e-12)
-    two = scene.lt_twosided[li]
+    two = take_rows(scene.lt_twosided, li)
     cosw = vm.dot(ng, w)
     pdf_dir = jnp.where(
         two,

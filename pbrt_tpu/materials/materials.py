@@ -9,6 +9,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from pbrt_tpu.geometry import vecmath as vm
+from pbrt_tpu.utils.gather import take_rows
 from pbrt_tpu.materials import bxdfs, scattering as sc
 from pbrt_tpu.spectral import spectra, sampled
 from pbrt_tpu.scene import builder as bd
@@ -55,16 +56,16 @@ def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths, uv=None):
     (reference materials eval textures via TextureEvalContext).
     """
     mat_idx_c = jnp.maximum(mat_idx, 0)
-    mtype = scene.mat_type[mat_idx_c]
-    refl_c = scene.mat_refl_c[mat_idx_c]       # (R,3)
-    trans_c = scene.mat_trans_c[mat_idx_c]
-    urough = scene.mat_urough[mat_idx_c]
-    vrough = scene.mat_vrough[mat_idx_c]
-    remap = scene.mat_remap[mat_idx_c]
-    eta_f = scene.mat_eta[mat_idx_c]
-    eta_spec = scene.mat_eta_spec[mat_idx_c]
-    k_spec = scene.mat_k_spec[mat_idx_c]
-    refl_mode = scene.mat_refl_mode[mat_idx_c]
+    mtype = take_rows(scene.mat_type, mat_idx_c)
+    refl_c = take_rows(scene.mat_refl_c, mat_idx_c)       # (R,3)
+    trans_c = take_rows(scene.mat_trans_c, mat_idx_c)
+    urough = take_rows(scene.mat_urough, mat_idx_c)
+    vrough = take_rows(scene.mat_vrough, mat_idx_c)
+    remap = take_rows(scene.mat_remap, mat_idx_c)
+    eta_f = take_rows(scene.mat_eta, mat_idx_c)
+    eta_spec = take_rows(scene.mat_eta_spec, mat_idx_c)
+    k_spec = take_rows(scene.mat_k_spec, mat_idx_c)
+    refl_mode = take_rows(scene.mat_refl_mode, mat_idx_c)
 
     # floor alpha at 1e-4: below the effectively_smooth threshold (1e-3) so
     # the specular branch still wins, but the unselected rough-lobe formulas
@@ -77,10 +78,10 @@ def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths, uv=None):
     if uv is not None and scene.tex.type.shape[0] > 0:
         from pbrt_tpu.textures import textures as texlib
 
-        rt = scene.mat_refl_tex[mat_idx_c]
-        tt = scene.mat_trans_tex[mat_idx_c]
-        ut = scene.mat_urough_tex[mat_idx_c]
-        vt = scene.mat_vrough_tex[mat_idx_c]
+        rt = take_rows(scene.mat_refl_tex, mat_idx_c)
+        tt = take_rows(scene.mat_trans_tex, mat_idx_c)
+        ut = take_rows(scene.mat_urough_tex, mat_idx_c)
+        vt = take_rows(scene.mat_vrough_tex, mat_idx_c)
         refl_t = jnp.clip(texlib.eval_spectrum(scene.tex, rt, uv, ns, wl.lam), 0.0, 1.0)
         trans_t = jnp.clip(texlib.eval_spectrum(scene.tex, tt, uv, ns, wl.lam), 0.0, 1.0)
         refl = jnp.where((rt >= 0)[..., None], refl_t, refl)
@@ -159,18 +160,18 @@ def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths, uv=None):
             trans=trans,
             eta_re=eta_re,
             eta_im=eta_im,
-            eta=scene.mat_ieta[mat_idx_c],
+            eta=take_rows(scene.mat_ieta, mat_idx_c),
             ax=ax,
             ay=ay,
         )
         # bottom: diffuse (reflectance) or conductor (eta/k + crough)
         is_cc = mtype == bd.MAT_COATED_CONDUCTOR
         cax = jnp.maximum(
-            jnp.where(remap, sc.roughness_to_alpha(scene.mat_crough_u[mat_idx_c]),
-                      scene.mat_crough_u[mat_idx_c]), 1e-4)
+            jnp.where(remap, sc.roughness_to_alpha(take_rows(scene.mat_crough_u, mat_idx_c)),
+                      take_rows(scene.mat_crough_u, mat_idx_c)), 1e-4)
         cay = jnp.maximum(
-            jnp.where(remap, sc.roughness_to_alpha(scene.mat_crough_v[mat_idx_c]),
-                      scene.mat_crough_v[mat_idx_c]), 1e-4)
+            jnp.where(remap, sc.roughness_to_alpha(take_rows(scene.mat_crough_v, mat_idx_c)),
+                      take_rows(scene.mat_crough_v, mat_idx_c)), 1e-4)
         bottom = bxdfs.BxdfParams(
             kind=jnp.where(is_cc, bxdfs.K_CONDUCTOR, bxdfs.K_DIFFUSE).astype(jnp.int32),
             refl=refl,
@@ -182,13 +183,13 @@ def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths, uv=None):
             ay=cay,
         )
         albedo = jnp.clip(
-            spectra.sigmoid_polynomial(scene.mat_albedo_c[mat_idx_c], wl.lam), 0.0, 1.0
+            spectra.sigmoid_polynomial(take_rows(scene.mat_albedo_c, mat_idx_c), wl.lam), 0.0, 1.0
         )
         lay = layered.LayeredParams(
             top=top,
             bottom=bottom,
-            thickness=scene.mat_thickness[mat_idx_c],
-            g=scene.mat_lay_g[mat_idx_c],
+            thickness=take_rows(scene.mat_thickness, mat_idx_c),
+            g=take_rows(scene.mat_lay_g, mat_idx_c),
             albedo=albedo,
             max_depth=10,
             n_samples=1,

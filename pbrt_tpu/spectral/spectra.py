@@ -78,7 +78,11 @@ def sample_table(table, spec_idx, lam):
     bin_idx = jnp.clip(
         jnp.round(lam).astype(jnp.int32) - cie.LAMBDA_MIN, 0, cie.LAMBDA_RANGE - 1
     )
-    return table[spec_idx[..., None], bin_idx]
+    # flat 1D gather: the 2D advanced-index form lowers to a much slower
+    # multi-dim gather on TPU (scalar-unit bound either way, but the flat
+    # form vectorizes the address math)
+    flat = table.reshape(-1)
+    return flat[spec_idx[..., None] * table.shape[1] + bin_idx]
 
 
 def sigmoid(x):
