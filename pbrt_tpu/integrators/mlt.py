@@ -10,10 +10,17 @@ TPU design: chains = lanes. The whole mutation-evaluate-accept step is one
 jitted function; the MLT sampler is the `kind=="mlt"` branch of the shared
 Sampler (primary samples consumed by dimension index).
 
-mlt-bdpt ("mlt"/"mltbdpt"): same chains driving the staged BDPT estimator
-with the path depth chosen per mutation (mlt_bdpt.cu:169-199) is routed to
-this module too, currently using the path-space Li (documented gap:
-strategy-resolved BDPT mutations pending).
+mlt-bdpt ("mlt"/"mltbdpt"): the same Kelemen chains drive the STAGED BDPT
+estimator (reference integrators/mlt_bdpt.cu:251-447). Design difference,
+on purpose: the reference mutates ONE (s,t) strategy per mutation chosen
+from the sampler (mlt_bdpt.cu:169-199, 3 interleaved sample streams
+samplers/mlt.h:62-63) because a CUDA thread wants one code path; our lanes
+evaluate the COMPLETE BDPT estimator per mutation (all strategies, each
+t=1 splat landing at its own raster position) and use its total luminance
+as the scalar target — the classic multi-contribution PSS-MLT formulation.
+Stream alignment falls out for free: the evaluation is one static trace,
+so primary-sample dimension k always feeds the same decision, which is
+exactly what the reference's 3-stream interleaving exists to guarantee.
 """
 import functools
 
@@ -117,9 +124,127 @@ def _accept_and_splat(splat, x_cur, x_prop, rgb_cur, rgb_prop, y_cur, y_prop,
     return splat, x_new, rgb_new, y_new, pix_new, a
 
 
+def eval_x_bdpt(scene, x, *, max_depth, res_x, res_y, env_ids=(), volumetric=False):
+    """Evaluate the FULL staged-BDPT estimator from a primary-sample vector
+    x (R, D) (mlt-bdpt target; reference integrators/mlt_bdpt.cu:120-200).
+    Returns (pix (C, R), rgb (C, R, 3), y_total (R,)) — C static
+    contributions: the camera-pixel sum plus one per t=1 splat strategy."""
+    from pbrt_tpu.integrators import bdpt as bdpt_mod
+
+    R = x.shape[0]
+    px = x[:, 0] * res_x
+    py = x[:, 1] * res_y
+    p_film = jnp.stack([px, py], axis=-1)
+    wl = sampled.sample_visible(x[:, 2])
+    smp = samplers.from_primary_samples(x)
+    smp = smp._replace(dim=jnp.full((R,), 3, jnp.uint32))
+    L, splats = bdpt_mod.li_bdpt_staged(
+        scene, p_film, smp, wl, max_depth, "mlt", 0, (res_x, res_y)
+    )
+    pix_main = (
+        jnp.clip(py.astype(jnp.int32), 0, res_y - 1) * res_x
+        + jnp.clip(px.astype(jnp.int32), 0, res_x - 1)
+    )
+
+    def to_rgb(Ls):
+        rgb = filmlib.to_sensor_rgb(Ls, wl.lam, wl.pdf)
+        return jnp.where(jnp.isfinite(rgb), rgb, 0.0)
+
+    pix = jnp.stack([pix_main] + [p for p, _ in splats])        # (C, R)
+    rgb = jnp.stack([to_rgb(L)] + [to_rgb(Ls) for _, Ls in splats])
+    y = jnp.maximum(
+        0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2], 0.0
+    ).sum(0)                                                     # (R,)
+    return pix, rgb, y
+
+
+@jax.jit
+def _accept_and_splat_multi(splat, x_cur, x_prop, pix_cur, pix_prop,
+                            rgb_cur, rgb_prop, y_cur, y_prop, u_accept):
+    """Metropolis accept/reject with expected-value splatting of every
+    contribution of both states (multi-contribution PSS-MLT)."""
+    a = jnp.where(y_cur > 0, jnp.minimum(1.0, y_prop / jnp.maximum(y_cur, 1e-12)), 1.0)
+    w_prop = jnp.where(y_prop > 0, a / jnp.maximum(y_prop, 1e-12), 0.0)
+    w_cur = jnp.where(y_cur > 0, (1.0 - a) / jnp.maximum(y_cur, 1e-12), 0.0)
+    splat = splat.at[pix_prop.reshape(-1)].add(
+        (rgb_prop * w_prop[None, :, None]).reshape(-1, 3)
+    )
+    splat = splat.at[pix_cur.reshape(-1)].add(
+        (rgb_cur * w_cur[None, :, None]).reshape(-1, 3)
+    )
+    accept = u_accept < a
+    x_new = jnp.where(accept[:, None], x_prop, x_cur)
+    pix_new = jnp.where(accept[None, :], pix_prop, pix_cur)
+    rgb_new = jnp.where(accept[None, :, None], rgb_prop, rgb_cur)
+    y_new = jnp.where(accept, y_prop, y_cur)
+    return splat, x_new, pix_new, rgb_new, y_new, a
+
+
+def render_mlt_bdpt(scene, meta, n_chains=N_CHAINS, n_bootstrap=None, seed=0,
+                    verbose=False):
+    """MLT over BDPT ("mlt"/"mltbdpt"; reference mlt_bdpt.cu:251-447).
+    Returns (H, W, 3) linear RGB."""
+    res_x, res_y = meta.resolution
+    n_pixels = res_x * res_y
+    # dims: film(2) + lambda(1) + camera walk + light walk + per-strategy
+    # connection draws; generous so overflow dims (PCG fallback) stay unused
+    D = 16 + 16 * (meta.max_depth + 2)
+    n_bootstrap = n_bootstrap or max(n_chains * 4, 1 << 16)
+    key = jax.random.PRNGKey(seed)
+    kw = dict(max_depth=meta.max_depth, res_x=res_x, res_y=res_y)
+
+    ys, xs = [], []
+    for _ in range(max(1, n_bootstrap // n_chains)):
+        key, k = jax.random.split(key)
+        x = jax.random.uniform(k, (n_chains, D))
+        _, _, y = eval_x_bdpt(scene, x, **kw)
+        ys.append(y)
+        xs.append(x)
+    y_boot = jnp.concatenate(ys)
+    x_boot = jnp.concatenate(xs)
+    b = float(jnp.mean(y_boot))
+    if b <= 0:
+        raise ValueError("MLT-BDPT bootstrap found no light-carrying paths")
+
+    from pbrt_tpu.distribution import distributions as dist
+
+    q, alias, _ = dist.alias_table_build(np.asarray(y_boot))
+    key, k = jax.random.split(key)
+    pick, _ = dist.alias_sample(
+        jnp.asarray(q), jnp.asarray(alias), jax.random.uniform(k, (n_chains,))
+    )
+    x_cur = x_boot[pick]
+    pix_cur, rgb_cur, y_cur = eval_x_bdpt(scene, x_cur, **kw)
+
+    total_mutations = meta.mutations_per_pixel * n_pixels
+    n_passes = max(1, total_mutations // n_chains)
+    splat = jnp.zeros((n_pixels, 3))
+    for i in range(n_passes):
+        key, k1, k2 = jax.random.split(key, 3)
+        x_prop = mutate(x_cur, k1)
+        pix_prop, rgb_prop, y_prop = eval_x_bdpt(scene, x_prop, **kw)
+        u_acc = jax.random.uniform(k2, (n_chains,))
+        splat, x_cur, pix_cur, rgb_cur, y_cur, a = _accept_and_splat_multi(
+            splat, x_cur, x_prop, pix_cur, pix_prop, rgb_cur, rgb_prop,
+            y_cur, y_prop, u_acc,
+        )
+        if verbose and (i % 16 == 0):
+            print(f"pass {i + 1}/{n_passes} accept={float(a.mean()):.2f}")
+
+    scale = b * n_pixels / (n_passes * n_chains)
+    img = splat * scale
+
+    from pbrt_tpu.spectral import colorspace
+
+    out = colorspace.apply_matrix(colorspace.srgb().rgb_from_xyz, img)
+    return out.reshape(res_y, res_x, 3)
+
+
 def render_mlt(scene, meta, n_chains=N_CHAINS, n_bootstrap=None, seed=0,
                verbose=False):
     """Full PSS-MLT render (mlt_path.cu:198-296). Returns (H, W, 3) RGB."""
+    if meta.integrator in ("mlt", "mltbdpt"):
+        return render_mlt_bdpt(scene, meta, n_chains, n_bootstrap, seed, verbose)
     res_x, res_y = meta.resolution
     n_pixels = res_x * res_y
     D = 16 + 10 * meta.max_depth

@@ -40,6 +40,30 @@ def test_mlt_sampler_reads_primary_samples():
 
 
 @pytest.mark.slow
+def test_mltbdpt_matches_path_mean():
+    """mlt-bdpt (Kelemen chains over the full staged BDPT estimator) must
+    agree with the plain path integrator's image mean (reference
+    integrators/mlt_bdpt.cu cross-check)."""
+    b = bd.SceneBuilder().parse_file(CORNELL)
+    b.film["xresolution"] = b.film["yresolution"] = 24
+    b.integrator["maxdepth"] = 3
+    b.integrator["mutations"] = 48
+    scene, meta = compile_scene(b, integrator_override="mltbdpt")
+    img_m = np.asarray(R.render(scene, meta))
+    b2 = bd.SceneBuilder().parse_file(CORNELL)
+    b2.film["xresolution"] = b2.film["yresolution"] = 24
+    b2.integrator["maxdepth"] = 3
+    b2.sampler["type"] = "independent"
+    scene2, meta2 = compile_scene(b2, spp_override=32, integrator_override="path")
+    img_p = np.asarray(R.render(scene2, meta2))
+    assert np.isfinite(img_m).all()
+    m, p = img_m.mean(), img_p.mean()
+    assert abs(m - p) < 0.2 * p, (m, p)
+    # spatial structure agrees: bright light region in both
+    assert img_m[:6, 8:16].mean() > 2 * img_m[12:20, 8:16].mean()
+
+
+@pytest.mark.slow
 def test_mlt_matches_path_mean():
     b = bd.SceneBuilder().parse_file(CORNELL)
     b.film["xresolution"] = b.film["yresolution"] = 24
