@@ -164,6 +164,14 @@ class SceneBuilder:
         self.media = []              # dicts: sigma_a/sigma_s dense, g
         self.named_media = {}
         self.camera_medium = -1      # exterior medium at WorldBegin
+        # object instancing (reference scene_builder.cu:809-876): definitions
+        # record world-space shape chunks; ObjectInstance re-emits them under
+        # the instance CTM (flattened at build — geometry is shared on disk
+        # but replicated in SceneArrays; a two-level BVH can replace this
+        # without changing the .pbrt surface)
+        self.object_defs = {}        # name -> dict(tris=[chunk], spheres=[], disks=[])
+        self.active_object = None    # name while recording a definition
+        self.named_coordinate_systems = {}
 
         # configs (reference defaults, SURVEY.md §8 'Observed runtime defaults')
         self.film = {"xresolution": 1920, "yresolution": 1080, "filename": "out.png"}
@@ -523,20 +531,38 @@ class SceneBuilder:
     def _emit_mesh(self, P, idx, N=None, UV=None):
         ctm = self.state.ctm
         Pw = (P @ ctm[:3, :3].T) + ctm[:3, 3]
+        Nw = None
         if N is not None:
             inv = np.linalg.inv(ctm)
             Nw = N @ inv[:3, :3]
             norms = np.linalg.norm(Nw, axis=-1, keepdims=True)
             Nw = Nw / np.maximum(norms, 1e-30)
         rev = self.state.reverse_orientation ^ _swaps_handedness(ctm)
-        if N is not None and rev:
+        if Nw is not None and rev:
             Nw = -Nw
 
-        mat = self.state.material_idx
+        med = (self.state.inside_medium, self.state.outside_medium)
+        if self.active_object is not None:
+            # record the chunk in world-of-definition space; instances
+            # re-transform it (reference builds a per-definition sub-BVH,
+            # scene_builder.cu:70-90 — here the geometry is replayed instead)
+            if self.state.area_light is not None:
+                raise ValueError(
+                    "area lights inside ObjectBegin/ObjectEnd are not supported"
+                )
+            self.object_defs[self.active_object]["tris"].append(
+                dict(P=Pw, idx=np.asarray(idx), N=Nw, UV=UV,
+                     mat=self.state.material_idx, rev=rev, med=med)
+            )
+            return
+        self._append_tris(Pw, idx, Nw, UV, self.state.material_idx, rev, med,
+                          area_light=self.state.area_light)
+
+    def _append_tris(self, Pw, idx, Nw, UV, mat, rev, med, area_light=None):
         for tri in idx:
             li = -1
-            if self.state.area_light is not None:
-                al = self.state.area_light
+            if area_light is not None:
+                al = area_light
                 self.lights.append(
                     LightSpec(
                         type=LIGHT_AREA,
@@ -548,12 +574,58 @@ class SceneBuilder:
                 )
                 li = len(self.lights) - 1
             self.tri_p.append(Pw[tri])
-            self.tri_n.append(None if N is None else Nw[tri])
+            self.tri_n.append(None if Nw is None else Nw[tri])
             self.tri_uv.append(None if UV is None else UV[tri])
             self.tri_mat.append(mat)
             self.tri_light.append(li)
             self.tri_rev.append(rev)
-            self.tri_med.append((self.state.inside_medium, self.state.outside_medium))
+            self.tri_med.append(med)
+
+    # maximum triangles an instanced scene may flatten to before we demand
+    # the (pending) two-level BVH instead of silently exhausting memory
+    MAX_FLATTENED_TRIS = 4_000_000
+
+    def _emit_instance(self, name):
+        """ObjectInstance: replay a recorded definition under the current CTM
+        (final transform = CTM_instance . CTM_definition, exactly the
+        reference's TransformedPrimitive composition scene_builder.cu:856-876)."""
+        if name not in self.object_defs:
+            raise ValueError(f"ObjectInstance {name!r} not defined")
+        ctm = self.state.ctm
+        M = ctm[:3, :3]
+        t = ctm[:3, 3]
+        inv = np.linalg.inv(ctm)
+        swap = _swaps_handedness(ctm)
+        d = self.object_defs[name]
+        n_new = sum(len(c["idx"]) for c in d["tris"])
+        if len(self.tri_p) + n_new > self.MAX_FLATTENED_TRIS:
+            raise NotImplementedError(
+                "instanced scene flattens past MAX_FLATTENED_TRIS; "
+                "two-level BVH traversal not implemented yet"
+            )
+        for c in d["tris"]:
+            Pw = c["P"] @ M.T + t
+            Nw = None
+            if c["N"] is not None:
+                Nw = c["N"] @ inv[:3, :3]
+                Nw = Nw / np.maximum(np.linalg.norm(Nw, axis=-1, keepdims=True), 1e-30)
+                if swap:
+                    Nw = -Nw
+            self._append_tris(Pw, c["idx"], Nw, c["UV"], c["mat"],
+                              c["rev"] ^ swap, c["med"])
+        for s in d["spheres"]:
+            sc = np.linalg.det(M) ** (1.0 / 3.0)
+            if not np.allclose(M, np.eye(3) * sc, atol=1e-6 * max(1.0, abs(sc))):
+                raise ValueError("sphere instances support uniform scaling only")
+            self.spheres.append(dict(s, center=np.asarray(s["center"]) @ M.T + t,
+                                     radius=s["radius"] * abs(sc)))
+        for dk in d["disks"]:
+            sc = np.linalg.det(M) ** (1.0 / 3.0)
+            n2 = dk["normal"] @ inv[:3, :3]
+            n2 = n2 / max(np.linalg.norm(n2), 1e-30)
+            self.disks.append(dict(dk, center=np.asarray(dk["center"]) @ M.T + t,
+                                   normal=n2, radius=dk["radius"] * abs(sc),
+                                   inner=dk["inner"] * abs(sc)))
 
     def add_sphere(self, pd: ParameterDict):
         radius = pd.get_float("radius", 1.0)
@@ -567,6 +639,22 @@ class SceneBuilder:
                 "sphere with non-uniform-scale/rotation transform not supported yet"
             )
         li = -1
+        if self.active_object is not None:
+            if self.state.area_light is not None:
+                raise ValueError(
+                    "area lights inside ObjectBegin/ObjectEnd are not supported"
+                )
+            self.object_defs[self.active_object]["spheres"].append(
+                dict(
+                    center=center,
+                    radius=radius * s,
+                    mat=self.state.material_idx,
+                    light=-1,
+                    rev=self.state.reverse_orientation ^ _swaps_handedness(ctm),
+                    med=(self.state.inside_medium, self.state.outside_medium),
+                )
+            )
+            return
         if self.state.area_light is not None:
             al = self.state.area_light
             self.lights.append(
@@ -608,6 +696,23 @@ class SceneBuilder:
         if rev:
             n = -n
         li = -1
+        if self.active_object is not None:
+            if self.state.area_light is not None:
+                raise ValueError(
+                    "area lights inside ObjectBegin/ObjectEnd are not supported"
+                )
+            self.object_defs[self.active_object]["disks"].append(
+                dict(
+                    center=center,
+                    normal=n,
+                    radius=radius * sc,
+                    inner=inner * sc,
+                    mat=self.state.material_idx,
+                    light=-1,
+                    med=(self.state.inside_medium, self.state.outside_medium),
+                )
+            )
+            return
         if self.state.area_light is not None:
             al = self.state.area_light
             self.lights.append(
@@ -872,9 +977,41 @@ class SceneBuilder:
                 self.state.outside_medium = self.named_media.get(outside, -1)
                 continue
 
-            if kw in ("CoordSysTransform",
-                      "ObjectBegin", "ObjectEnd", "ObjectInstance"):
-                raise NotImplementedError(f"directive {kw} not implemented yet")
+            if kw == "CoordinateSystem":
+                name = tokens[i].value
+                i += 1
+                self.named_coordinate_systems[name] = self.state.ctm.copy()
+                continue
+            if kw == "CoordSysTransform":
+                name = tokens[i].value
+                i += 1
+                if name not in self.named_coordinate_systems:
+                    raise ValueError(f"coordinate system {name!r} not defined")
+                # restores the saved CTM (reference scene_builder.cu:308-317)
+                self.state.ctm = self.named_coordinate_systems[name].copy()
+                continue
+            if kw == "ObjectBegin":
+                if self.active_object is not None:
+                    raise ValueError("ObjectBegin inside an instance definition")
+                name = tokens[i].value
+                i += 1
+                self.stack.append(copy.deepcopy(self.state))
+                self.object_defs[name] = dict(tris=[], spheres=[], disks=[])
+                self.active_object = name
+                continue
+            if kw == "ObjectEnd":
+                if self.active_object is None:
+                    raise ValueError("ObjectEnd without ObjectBegin")
+                self.active_object = None
+                self.state = self.stack.pop()
+                continue
+            if kw == "ObjectInstance":
+                name = tokens[i].value
+                i += 1
+                if self.active_object is not None:
+                    raise ValueError("ObjectInstance inside an instance definition")
+                self._emit_instance(name)
+                continue
 
             raise ValueError(f"unknown directive {kw!r}")
 
