@@ -7,28 +7,35 @@ Build (host, numpy, scene-compile time — build is precompute, not the metric,
 matching SURVEY §7 Phase 1):
   - triangles are sorted by the 30-bit morton code of their centroid
     (reference hlbvh.cu:229 hlbvh_compute_morton_code) and PHYSICALLY
-    reordered so BVH leaves are contiguous runs — leaf intersection then
-    gathers coalesced rows;
+    reordered so BVH leaves are contiguous runs;
   - the soup is padded to P * K triangles (P a power of two) with degenerate
     never-hit triangles, giving exactly P leaves of exactly K prims;
   - the tree is the IMPLICIT complete binary tree over the P morton-ordered
     chunks: children of node i live at 2i+1 / 2i+2, leaves are node ids
-    >= P-1. No child pointers at all — the only device arrays are the two
-    (2P-1, 3) bounds arrays, refit bottom-up on host. A median split in
-    morton order is the LBVH topology minus the variable-depth radix splits;
-    quality is within a few percent for the scene classes here and the
-    traversal loop is branch-free on node layout.
+    >= P-1. A median split in morton order is the LBVH topology minus the
+    variable-depth radix splits.
+
+Memory layout is dictated by measured TPU gather behavior
+(tools/bench_gather.py on v5e: random row gathers cost ~1 ms per 256k rows
+REGARDLESS of row width 4..64 f32): everything a traversal step needs is
+packed into ONE wide row —
+  - `nodes` (P-1, 12): both children's bounds in the PARENT row
+    [lmin lmax rmin rmax], so an internal step is a single gather;
+  - `leaf_tris` (P, K*9): all K triangles of a chunk in one row, so a leaf
+    step is a single gather.
 
 Traversal (device, jit):
   - vectorized over rays; per-ray state = current node + fixed-size stack
     (depth = log2(P), known statically from the array shapes);
   - near-child-first ordering + t_best shrinkage, like hlbvh.cu:459-516's
-    Stack<int,128> loop, but as a `lax.while_loop` over dense lanes;
+    Stack<int,128> loop, but as a `lax.while_loop` over dense lanes, with a
+    hard iteration bound so a traversal bug degrades instead of wedging the
+    chip watchdog;
   - the loop returns only the DISCRETE winner (prim index); the
-    differentiable hit record (t, barycentrics) is recomputed outside the
-    loop with one per-lane watertight test. Reverse-mode AD cannot cross a
-    while_loop, so every loop input is stop_gradient'ed — the refit restores
-    the full gradient path through the winning primitive.
+    differentiable hit record is recomputed outside the loop with one
+    per-lane watertight test against tri_p0/p1/p2. Reverse-mode AD cannot
+    cross a while_loop, so every loop input is stop_gradient'ed — the refit
+    restores the full gradient path through the winning primitive.
 """
 from typing import NamedTuple
 
@@ -39,9 +46,8 @@ import jax.numpy as jnp
 from pbrt_tpu.utils.math import INFINITY, encode_morton3, gamma
 from pbrt_tpu.geometry import intersect as ix
 
-# Leaf size: each leaf holds exactly K morton-consecutive triangles. Small K
-# keeps the per-iteration masked leaf work cheap (every while_loop iteration
-# pays node cost + K triangle tests on all lanes).
+# Leaf size: each leaf holds exactly K morton-consecutive triangles; one
+# leaf visit costs one row gather + K masked watertight tests.
 LEAF_K = 4
 # Scenes below this triangle count use the dense all-pairs kernel instead.
 MIN_TRIS_FOR_BVH = 64
@@ -50,10 +56,10 @@ MIN_TRIS_FOR_BVH = 64
 class BvhBuild(NamedTuple):
     """Host-side build result."""
 
-    node_min: np.ndarray   # (2P-1, 3) f32
-    node_max: np.ndarray   # (2P-1, 3) f32
+    nodes: np.ndarray      # (P-1, 12) f32 [lmin lmax rmin rmax] per internal
+    leaf_tris: np.ndarray  # (P, K*9) f32 [p0 p1 p2] x K per chunk
     perm: np.ndarray       # (T,) original-index of sorted triangle i
-    n_padded: np.ndarray   # T rounded up to P * K
+    n_padded: int          # T rounded up to P * K
 
 
 def build_bvh(p0, p1, p2, leaf_k=LEAF_K):
@@ -77,30 +83,28 @@ def build_bvh(p0, p1, p2, leaf_k=LEAF_K):
     P = 1 << max(0, int(np.ceil(np.log2(max(n_chunks, 1)))))
     n_padded = P * leaf_k
 
-    # sorted + padded vertex arrays just for bounds computation
     def pad(v):
-        out = np.empty((n_padded, 3), v.dtype)
+        out = np.zeros((n_padded, 3), np.float32)
         out[:T] = v[perm]
-        out[T:] = 0.0
         return out
 
     sp0, sp1, sp2 = pad(p0), pad(p1), pad(p2)
+    leaf_tris = np.concatenate([sp0, sp1, sp2], axis=1)          # (TP, 9)
+    leaf_tris = leaf_tris.reshape(P, leaf_k * 9).astype(np.float32)
+
     BIG = np.float32(3e38)
     tri_lo = np.minimum(np.minimum(sp0, sp1), sp2)
     tri_hi = np.maximum(np.maximum(sp0, sp1), sp2)
-    # padding rows get inverted boxes so they never enlarge a leaf
+    # padding rows get inverted boxes so they never enlarge a leaf; the slab
+    # test rejects inverted boxes explicitly
     tri_lo[T:] = BIG
     tri_hi[T:] = -BIG
 
     n_nodes = 2 * P - 1
     node_min = np.full((n_nodes, 3), BIG, np.float32)
     node_max = np.full((n_nodes, 3), -BIG, np.float32)
-    # leaves: node id P-1+c covers chunk c = prims [c*K, (c+1)*K)
-    leaf_lo = tri_lo.reshape(P, leaf_k, 3).min(1)
-    leaf_hi = tri_hi.reshape(P, leaf_k, 3).max(1)
-    node_min[P - 1:] = leaf_lo
-    node_max[P - 1:] = leaf_hi
-    # internal bottom-up, level by level (vectorized)
+    node_min[P - 1:] = tri_lo.reshape(P, leaf_k, 3).min(1)
+    node_max[P - 1:] = tri_hi.reshape(P, leaf_k, 3).max(1)
     level_start = P - 1
     while level_start > 0:
         parent_start = (level_start - 1) // 2
@@ -115,9 +119,20 @@ def build_bvh(p0, p1, p2, leaf_k=LEAF_K):
         )
         level_start = parent_start
 
+    # pack both children's bounds into the parent row
+    n_int = P - 1
+    i = np.arange(n_int)
+    nodes = np.concatenate(
+        [
+            node_min[2 * i + 1], node_max[2 * i + 1],
+            node_min[2 * i + 2], node_max[2 * i + 2],
+        ],
+        axis=1,
+    ).astype(np.float32) if n_int else np.zeros((0, 12), np.float32)
+
     return BvhBuild(
-        node_min=node_min.astype(np.float32),
-        node_max=node_max.astype(np.float32),
+        nodes=nodes,
+        leaf_tris=leaf_tris,
         perm=perm,
         n_padded=n_padded,
     )
@@ -153,18 +168,16 @@ def _slab(o, inv_d, nmin, nmax, t_best):
 _DONE = jnp.int32(-1)
 
 
-def _traverse(node_min, node_max, tri_p0, tri_p1, tri_p2, o, d, t_max,
-              any_hit=False):
+def _traverse(nodes, leaf_tris, o, d, t_max, any_hit=False):
     """Stack-based traversal over the implicit tree.
 
-    node_min/max: (2P-1, 3); tri_*: (P*K, 3) in leaf order.
-    o, d: (R, 3); t_max: (R,).
+    nodes: (P-1, 12); leaf_tris: (P, K*9).  o, d: (R, 3); t_max: (R,).
     Returns (t (R,), prim (R,) i32, -1 on miss). Discrete only — call
     intersect_tri_lanes on the winner for the differentiable record.
     """
-    n_nodes = node_min.shape[0]
-    P = (n_nodes + 1) // 2
-    K = tri_p0.shape[0] // P
+    n_int = nodes.shape[0]
+    P = n_int + 1
+    K = leaf_tris.shape[1] // 9
     depth = max(1, int(np.log2(P)) + 1)
     R = o.shape[0]
 
@@ -173,11 +186,8 @@ def _traverse(node_min, node_max, tri_p0, tri_p1, tri_p2, o, d, t_max,
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     t_max = jax.lax.stop_gradient(t_max)
-    node_min = jax.lax.stop_gradient(node_min)
-    node_max = jax.lax.stop_gradient(node_max)
-    tri_p0 = jax.lax.stop_gradient(tri_p0)
-    tri_p1 = jax.lax.stop_gradient(tri_p1)
-    tri_p2 = jax.lax.stop_gradient(tri_p2)
+    nodes = jax.lax.stop_gradient(nodes)
+    leaf_tris = jax.lax.stop_gradient(leaf_tris)
 
     inv_d = _safe_inv(d)
 
@@ -189,10 +199,8 @@ def _traverse(node_min, node_max, tri_p0, tri_p1, tri_p2, o, d, t_max,
         prim: jnp.ndarray     # (R,)
         it: jnp.ndarray       # () iteration counter (hard safety bound)
 
-    # root test
-    tn0, hit0 = _slab(o, inv_d, node_min[0], node_max[0], t_max)
     st = _St(
-        cur=jnp.where(hit0, 0, _DONE),
+        cur=jnp.zeros((R,), jnp.int32),  # start at the root (internal)
         sp=jnp.zeros((R,), jnp.int32),
         stack=jnp.zeros((R, depth), jnp.int32),
         t_best=t_max,
@@ -201,9 +209,9 @@ def _traverse(node_min, node_max, tri_p0, tri_p1, tri_p2, o, d, t_max,
     )
 
     slot_ids = jnp.arange(depth, dtype=jnp.int32)
-    # a single ray visits each node at most once; anything past 2 * n_nodes
+    # a single ray visits each node at most once; anything past 2 * #nodes
     # is a traversal bug — terminate rather than wedge the chip's watchdog
-    max_iters = jnp.int32(2 * n_nodes + 8)
+    max_iters = jnp.int32(2 * (2 * P - 1) + 8)
 
     def cond(st):
         return jnp.any(st.cur != _DONE) & (st.it < max_iters)
@@ -211,39 +219,35 @@ def _traverse(node_min, node_max, tri_p0, tri_p1, tri_p2, o, d, t_max,
     def body(st):
         live = st.cur != _DONE
         cur = jnp.maximum(st.cur, 0)
-        is_leaf = live & (cur >= P - 1)
+        is_leaf = live & (cur >= n_int)
 
-        # ---- leaf: test its K contiguous prims (masked on non-leaf lanes)
+        # ---- leaf: one row gather covers all K prims (masked on non-leaf)
         t_best, prim = st.t_best, st.prim
-        off = (cur - (P - 1)) * K
+        chunk = jnp.clip(cur - n_int, 0, P - 1)
+        row = leaf_tris[chunk]                      # (R, K*9)
         for k in range(K):
-            idx = off + k
-            p0 = tri_p0[idx]
-            p1 = tri_p1[idx]
-            p2 = tri_p2[idx]
+            p0 = row[:, k * 9: k * 9 + 3]
+            p1 = row[:, k * 9 + 3: k * 9 + 6]
+            p2 = row[:, k * 9 + 6: k * 9 + 9]
             t_k, _, hit_k = ix.intersect_tri_lanes(o, d, t_best, p0, p1, p2)
             better = is_leaf & hit_k & (t_k < t_best)
             t_best = jnp.where(better, t_k, t_best)
-            prim = jnp.where(better, idx, prim)
-            if any_hit:
-                # shadow query: first hit wins; lane finishes below
-                pass
+            prim = jnp.where(better, chunk * K + k, prim)
 
         found = prim >= 0
 
-        # ---- internal: slab both children (masked on leaf lanes)
+        # ---- internal: one row gather gives both children's bounds
+        nrow = nodes[jnp.minimum(cur, max(n_int - 1, 0))]  # (R, 12)
+        tn_l, hit_l = _slab(o, inv_d, nrow[:, 0:3], nrow[:, 3:6], t_best)
+        tn_r, hit_r = _slab(o, inv_d, nrow[:, 6:9], nrow[:, 9:12], t_best)
         l = 2 * cur + 1
         r = l + 1
-        l_c = jnp.minimum(l, n_nodes - 1)
-        r_c = jnp.minimum(r, n_nodes - 1)
-        tn_l, hit_l = _slab(o, inv_d, node_min[l_c], node_max[l_c], t_best)
-        tn_r, hit_r = _slab(o, inv_d, node_min[r_c], node_max[r_c], t_best)
         is_int = live & ~is_leaf
         hit_l &= is_int
         hit_r &= is_int
         l_near = tn_l <= tn_r
-        near = jnp.where(l_near, l_c, r_c)
-        far = jnp.where(l_near, r_c, l_c)
+        near = jnp.where(l_near, l, r)
+        far = jnp.where(l_near, r, l)
         hit_near = jnp.where(l_near, hit_l, hit_r)
         hit_far = jnp.where(l_near, hit_r, hit_l)
         both = hit_near & hit_far
@@ -291,13 +295,11 @@ def closest_hit_tris(scene, o, d, t_max):
     are already stored in that order by the compiler).
     """
     t_disc, prim = _traverse(
-        scene.bvh_node_min, scene.bvh_node_max,
-        scene.tri_p0, scene.tri_p1, scene.tri_p2,
-        o, d, t_max,
+        scene.bvh_nodes, scene.bvh_leaf_tris, o, d, t_max,
     )
     found = prim >= 0
     pc = jnp.maximum(prim, 0)
-    # differentiable refit: slightly enlarged t window re-admits the winner
+    # differentiable refit against the winner (tri_p0/p1/p2 carry gradients)
     t_ref, bary, hit_ref = ix.intersect_tri_lanes(
         o, d, t_max, scene.tri_p0[pc], scene.tri_p1[pc], scene.tri_p2[pc]
     )
@@ -312,8 +314,6 @@ def closest_hit_tris(scene, o, d, t_max):
 def any_hit_tris(scene, o, d, t_max):
     """BVH shadow query: True where some triangle blocks (R,)."""
     _, prim = _traverse(
-        scene.bvh_node_min, scene.bvh_node_max,
-        scene.tri_p0, scene.tri_p1, scene.tri_p2,
-        o, d, t_max, any_hit=True,
+        scene.bvh_nodes, scene.bvh_leaf_tris, o, d, t_max, any_hit=True,
     )
     return prim >= 0

@@ -42,7 +42,7 @@ def intersect(scene, o, d, t_max) -> SceneHit:
     have_sph = scene.sph_center.shape[0] > 0
     have_dsk = scene.dsk_center.shape[0] > 0
 
-    use_bvh = scene.bvh_node_min.shape[0] > 0  # static shape switch
+    use_bvh = scene.bvh_nodes.shape[0] > 0  # static shape switch
 
     t_tri = jnp.full((R,), INFINITY)
     if have_tris:
@@ -76,27 +76,39 @@ def intersect(scene, o, d, t_max) -> SceneHit:
         b = th.b
         p_t = b[..., 0:1] * p0 + b[..., 1:2] * p1 + b[..., 2:3] * p2
         ng_t = vm.normalize(vm.cross(p1 - p0, p2 - p0))
-        rev = take_rows(scene.tri_rev, tri)
+        if use_bvh:
+            # big table: ONE wide row gather for the whole hit record
+            # (gathers cost per row on TPU; see tri_rec layout in compile.py)
+            rec = scene.tri_rec[tri]                       # (R, 24)
+            n0, n1, n2 = rec[:, 0:3], rec[:, 3:6], rec[:, 6:9]
+            uv0, uv1, uv2 = rec[:, 9:11], rec[:, 11:13], rec[:, 13:15]
+            mat_t = rec[:, 15].astype(jnp.int32)
+            light_t = rec[:, 16].astype(jnp.int32)
+            rev = rec[:, 17] > 0.5
+            has_n = rec[:, 18] > 0.5
+            med_t = rec[:, 19:21].astype(jnp.int32)
+        else:
+            n0 = take_rows(scene.tri_n0, tri)
+            n1 = take_rows(scene.tri_n1, tri)
+            n2 = take_rows(scene.tri_n2, tri)
+            uv0 = take_rows(scene.tri_uv0, tri)
+            uv1 = take_rows(scene.tri_uv1, tri)
+            uv2 = take_rows(scene.tri_uv2, tri)
+            mat_t = take_rows(scene.tri_mat, tri)
+            light_t = take_rows(scene.tri_light, tri)
+            rev = take_rows(scene.tri_rev, tri)
+            has_n = take_rows(scene.tri_has_n, tri)
+            med_t = take_rows(scene.tri_med, tri)
         ng_t = jnp.where(rev[..., None], -ng_t, ng_t)
-        has_n = take_rows(scene.tri_has_n, tri)
         ns_t = vm.normalize(
-            b[..., 0:1] * take_rows(scene.tri_n0, tri)
-            + b[..., 1:2] * take_rows(scene.tri_n1, tri)
-            + b[..., 2:3] * take_rows(scene.tri_n2, tri)
+            b[..., 0:1] * n0 + b[..., 1:2] * n1 + b[..., 2:3] * n2
         )
         # faceforward geometric normal onto shading normal side (pbrt)
         ng_adj = jnp.where(
             has_n[..., None], vm.face_forward(ng_t, ns_t), ng_t
         )
         ns_t = jnp.where(has_n[..., None], ns_t, ng_adj)
-        uv_t = (
-            b[..., 0:1] * take_rows(scene.tri_uv0, tri)
-            + b[..., 1:2] * take_rows(scene.tri_uv1, tri)
-            + b[..., 2:3] * take_rows(scene.tri_uv2, tri)
-        )
-        mat_t = take_rows(scene.tri_mat, tri)
-        light_t = take_rows(scene.tri_light, tri)
-        med_t = take_rows(scene.tri_med, tri)
+        uv_t = b[..., 0:1] * uv0 + b[..., 1:2] * uv1 + b[..., 2:3] * uv2
     else:
         p_t = jnp.zeros((R, 3))
         ng_adj = jnp.zeros((R, 3))
@@ -156,7 +168,7 @@ def occluded(scene, o, d, t_max):
     """Any-hit between o and o + t_max*d (reference integrator_base unoccluded)."""
     occ = jnp.zeros(o.shape[:1], bool)
     if scene.tri_p0.shape[0] > 0:
-        if scene.bvh_node_min.shape[0] > 0:
+        if scene.bvh_nodes.shape[0] > 0:
             occ |= bvh.any_hit_tris(scene, o, d, t_max)
         else:
             occ |= ix.occluded_tris_dense(o, d, t_max, _tris(scene))

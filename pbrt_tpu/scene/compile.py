@@ -40,8 +40,12 @@ class SceneArrays(NamedTuple):
     tri_rev: jnp.ndarray
     # BVH over triangles (accel/bvh.py): implicit complete binary tree
     # bounds; (0, 3) when the scene is small enough for the dense kernel
-    bvh_node_min: jnp.ndarray    # (2P-1, 3) f32
-    bvh_node_max: jnp.ndarray    # (2P-1, 3) f32
+    bvh_nodes: jnp.ndarray       # (P-1, 12) f32 packed children bounds
+    bvh_leaf_tris: jnp.ndarray   # (P, K*9) f32 packed leaf triangles
+    tri_rec: jnp.ndarray         # (T, 24) f32 packed per-tri hit record
+                                 # [n0 n1 n2 uv0 uv1 uv2 mat light rev has_n
+                                 #  med_in med_out] (BVH scenes only; ids as
+                                 #  exact small floats)
     # spheres
     sph_center: jnp.ndarray
     sph_radius: jnp.ndarray
@@ -241,11 +245,26 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         tri_light = reorder_pad(tri_light, -1)
         tri_rev = reorder_pad(tri_rev, False)
         tri_med_arr = reorder_pad(tri_med_arr, -1)
-        bvh_node_min = bvh.node_min
-        bvh_node_max = bvh.node_max
+        bvh_nodes = bvh.nodes
+        bvh_leaf_tris = bvh.leaf_tris
+        # one wide row per triangle for hit-record assembly: a single gather
+        # instead of ~14 (gathers cost per ROW on TPU, width nearly free)
+        tri_rec = np.concatenate(
+            [
+                tn.reshape(n_pad, 9).astype(np.float32),
+                tuv.reshape(n_pad, 6).astype(np.float32),
+                tri_mat[:, None].astype(np.float32),
+                tri_light[:, None].astype(np.float32),
+                tri_rev[:, None].astype(np.float32),
+                has_n[:, None].astype(np.float32),
+                tri_med_arr.astype(np.float32),
+            ],
+            axis=1,
+        )
     else:
-        bvh_node_min = np.zeros((0, 3), np.float32)
-        bvh_node_max = np.zeros((0, 3), np.float32)
+        bvh_nodes = np.zeros((0, 12), np.float32)
+        bvh_leaf_tris = np.zeros((0, 9 * bvhlib.LEAF_K), np.float32)
+        tri_rec = np.zeros((0, 24), np.float32)
 
     # ---- spheres
     S = len(b.spheres)
@@ -462,8 +481,9 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         tri_mat=jnp.asarray(tri_mat),
         tri_light=jnp.asarray(tri_light),
         tri_rev=jnp.asarray(tri_rev),
-        bvh_node_min=jnp.asarray(bvh_node_min),
-        bvh_node_max=jnp.asarray(bvh_node_max),
+        bvh_nodes=jnp.asarray(bvh_nodes),
+        bvh_leaf_tris=jnp.asarray(bvh_leaf_tris),
+        tri_rec=jnp.asarray(tri_rec),
         sph_center=jnp.asarray(sph_center, jnp.float32),
         sph_radius=jnp.asarray(sph_radius, jnp.float32),
         sph_mat=jnp.asarray(sph_mat),

@@ -33,8 +33,8 @@ def _scene_of(p0, p1, p2):
         tri_p0=jnp.asarray(pad(p0)),
         tri_p1=jnp.asarray(pad(p1)),
         tri_p2=jnp.asarray(pad(p2)),
-        bvh_node_min=jnp.asarray(build.node_min),
-        bvh_node_max=jnp.asarray(build.node_max),
+        bvh_nodes=jnp.asarray(build.nodes),
+        bvh_leaf_tris=jnp.asarray(build.leaf_tris),
     )
 
 
@@ -110,9 +110,9 @@ def test_bvh_used_in_compiled_scene():
     from pbrt_tpu.scene.testscenes import cornell, cornell_mesh
 
     scene, meta = cornell(res=8, spp=1)
-    assert scene.bvh_node_min.shape[0] == 0  # small scene stays dense
+    assert scene.bvh_nodes.shape[0] == 0  # small scene stays dense
     scene2, meta2 = cornell_mesh(res=8, spp=1, levels=3)
-    assert scene2.bvh_node_min.shape[0] > 0
+    assert scene2.bvh_nodes.shape[0] > 0
     assert meta2.n_tris >= 1000
 
 
@@ -127,9 +127,7 @@ def test_bvh_render_matches_dense_render():
 
     res = 16
     scene, meta = cornell_mesh(res=res, spp=1, levels=3)
-    scene_dense = scene._replace(
-        bvh_node_min=jnp.zeros((0, 3)), bvh_node_max=jnp.zeros((0, 3))
-    )
+    scene_dense = scene._replace(bvh_nodes=jnp.zeros((0, 12)))
     pix = jnp.arange(res * res, dtype=jnp.int32)
 
     def render(sc):
