@@ -101,8 +101,9 @@ def build_filter(spec: dict):
     if kind not in FILTER_DEFAULT_RADIUS:
         raise ValueError(f"unknown filter {kind!r}")
     default_r = FILTER_DEFAULT_RADIUS[kind]
-    rx = float(spec.get("xradius", default_r))
-    ry = float(spec.get("yradius", default_r))
+    # the builder stores None for absent radius params — treat as default
+    rx = float(spec.get("xradius") if spec.get("xradius") is not None else default_r)
+    ry = float(spec.get("yradius") if spec.get("yradius") is not None else default_r)
     params = {"radius": (rx, ry)}
     if kind == "gaussian":
         params["sigma"] = float(spec.get("sigma", 0.5))
