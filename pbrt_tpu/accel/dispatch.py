@@ -37,6 +37,14 @@ def _tris(scene):
 
 
 def intersect(scene, o, d, t_max) -> SceneHit:
+    from pbrt_tpu.utils.math import clip_grad
+
+    # bound the geometry cotangents in BOTH directions at the dispatch
+    # boundary: grazing-configuration Jacobians inside every intersection
+    # kernel are huge, and their cross-bounce products overflow f32 (see the
+    # SceneHit clip below). Primal unchanged.
+    o = clip_grad(o)
+    d = clip_grad(d)
     R = o.shape[0]
     have_tris = scene.tri_p0.shape[0] > 0
     have_sph = scene.sph_center.shape[0] > 0
@@ -148,24 +156,36 @@ def intersect(scene, o, d, t_max) -> SceneHit:
     # poison reverse-mode gradients downstream — a zero cotangent through a
     # product with an inf primal is NaN, and that NaN adds into the bars of
     # real path quantities. Keep every lane's record finite.
+    # clip_grad: geometry Jacobians at grazing/silhouette configurations are
+    # huge (bounded only by the det/q floors); across several bounces their
+    # PRODUCTS overflow f32 and NaN the camera-pose gradient. Re-bounding the
+    # cotangents once per intersection keeps every factor tame (primal
+    # untouched; the true silhouette derivative is a boundary term interior
+    # AD cannot represent anyway).
+    from pbrt_tpu.utils.math import clip_grad
+
     zaxis = jnp.zeros_like(ng).at[..., 2].set(1.0)
     return SceneHit(
         valid=valid,
-        t=jnp.where(valid, t, 1.0),
-        p=jnp.where(valid[..., None], p_hit, o),
-        ng=jnp.where(valid[..., None], ng, zaxis),
-        ns=jnp.where(valid[..., None], ns, zaxis),
-        uv=jnp.where(valid[..., None], uv, 0.0),
+        t=clip_grad(jnp.where(valid, t, 1.0)),
+        p=clip_grad(jnp.where(valid[..., None], p_hit, o)),
+        ng=clip_grad(jnp.where(valid[..., None], ng, zaxis)),
+        ns=clip_grad(jnp.where(valid[..., None], ns, zaxis)),
+        uv=clip_grad(jnp.where(valid[..., None], uv, 0.0)),
         mat=jnp.where(valid, mat, -1),
         light=jnp.where(valid, light, -1),
         med_in=jnp.where(valid, med[..., 0], -1),
         med_out=jnp.where(valid, med[..., 1], -1),
-        wo=-d,
+        wo=clip_grad(-d),
     )
 
 
 def occluded(scene, o, d, t_max):
     """Any-hit between o and o + t_max*d (reference integrator_base unoccluded)."""
+    from pbrt_tpu.utils.math import clip_grad
+
+    o = clip_grad(o)
+    d = clip_grad(d)
     occ = jnp.zeros(o.shape[:1], bool)
     if scene.tri_p0.shape[0] > 0:
         if scene.bvh_nodes.shape[0] > 0:

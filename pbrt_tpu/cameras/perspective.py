@@ -31,7 +31,13 @@ def generate_rays(scene, p_film, u_lens):
 
     o_r = tf.xform_point(scene.render_from_camera, o)
     d_r = vm.normalize(tf.xform_vector(scene.render_from_camera, d))
-    return Rays(o=o_r, d=d_r)
+    # clip_grad: catch-all sanitization of camera-pose cotangents — any
+    # inf/NaN minted in downstream geometry/shading Jacobians (grazing
+    # configurations, spherical-triangle trig) is zeroed/bounded here before
+    # it reaches d(loss)/d(render_from_camera). Primal unchanged.
+    from pbrt_tpu.utils.math import clip_grad
+
+    return Rays(o=clip_grad(o_r), d=clip_grad(d_r))
 
 
 # --------------------------------------------------- light-tracing support

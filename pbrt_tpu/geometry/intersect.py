@@ -14,7 +14,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from pbrt_tpu.utils.math import INFINITY, clamp_mag, gamma, safe_sqrt
+from pbrt_tpu.utils.math import INFINITY, clamp_mag, clip_grad, gamma, safe_sqrt
 from pbrt_tpu.geometry import vecmath as vm
 
 
@@ -100,9 +100,14 @@ def _watertight_core(a, b, c, sx, sy, sz, t_max):
         (t_scaled > 0) & (t_scaled < t_max * det),
     )
 
-    # clamp_mag: a subnormal det would make inv_det inf, and inf partials
-    # NaN the gradients of every lane summed into shared scene parameters
-    inv_det = 1.0 / clamp_mag(det, 1e-18)  # floor keeps 1/det^2 < f32 max in the VJP
+    # clamp_mag with a RELATIVE floor: an absolute floor (1e-18) keeps the
+    # primal finite but lets grazing-sliver Jacobians reach t_scaled/det^2 ~
+    # 1e40 = inf, which NaNs every ray-geometry gradient (camera pose) summed
+    # through such a lane. Scaling the floor by the edge magnitude bounds
+    # d(t)/d(e_i) = (z_i - t)/det by ~1e8/|coords| — real hits never have
+    # det below 1e-8 of their edge scale.
+    max_e0 = jnp.maximum(jnp.maximum(jnp.abs(e0), jnp.abs(e1)), jnp.abs(e2))
+    inv_det = 1.0 / clamp_mag(det, 1e-8 * max_e0 + 1e-30)
     t = t_scaled * inv_det
     b0 = e0 * inv_det
     b1 = e1 * inv_det
@@ -205,6 +210,12 @@ def intersect_spheres_dense(o, d, t_max, spheres: SphereSoA):
     Stable quadratic (Press et al. / reference sphere.cu interval version's
     fp32 counterpart) + hit-point reprojection onto the sphere.
     """
+    # clip_grad on the INPUTS sanitizes the ray cotangents as they leave this
+    # kernel's backward: the quadratic's silhouette Jacobians (1/q^2, 1/sqrt
+    # (disc)) overflow to inf at tangency, and an inf minted inside would
+    # otherwise ride out through d(o)/d(d) into the camera-pose gradient
+    o = clip_grad(o)
+    d = clip_grad(d)
     oc = o[:, None, :] - spheres.center[None, :, :]  # (R, S, 3)
     dd = d[:, None, :]
     a = jnp.sum(dd * dd, axis=-1)
@@ -236,11 +247,13 @@ def intersect_spheres_dense(o, d, t_max, spheres: SphereSoA):
     rel = p - center
     p = center + rel * (radius / jnp.maximum(vm.length(rel), 1e-12))[:, None]
     n = vm.normalize(p - center)
+    # silhouette Jacobians (d t / d ray at tangency) are unbounded — clip
+    # the cotangents at the primitive boundary (see utils.math.clip_grad)
     return (
-        jnp.where(found, t_best, INFINITY),
+        clip_grad(jnp.where(found, t_best, INFINITY)),
         jnp.where(found, best.astype(jnp.int32), -1),
-        p,
-        n,
+        clip_grad(p),
+        clip_grad(n),
     )
 
 
@@ -281,8 +294,8 @@ def intersect_disks_dense(o, d, t_max, disks: DiskSoA):
     p_best = o + t_best[..., None] * d
     n_best = disks.normal[best]
     return (
-        jnp.where(found, t_best, INFINITY),
+        clip_grad(jnp.where(found, t_best, INFINITY)),
         jnp.where(found, best, -1).astype(jnp.int32),
-        p_best,
+        clip_grad(p_best),
         n_best,
     )

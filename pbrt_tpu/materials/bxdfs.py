@@ -65,6 +65,19 @@ def _same_hemisphere(wo, wi):
     return wo[..., 2] * wi[..., 2] > 0.0
 
 
+def _safe_alphas(p: BxdfParams):
+    """Double-where on the roughness: effectively-smooth lanes select the
+    specular branch, but the UNSELECTED rough-lobe formulas still run with
+    the 1e-4 alpha floor, whose 1/alpha^2-scale Jacobians overflow in
+    reverse mode and NaN shared gradients through jnp.where's 0-cotangent.
+    Feeding those lanes a tame stand-in alpha changes no primal (their
+    rough results are never selected)."""
+    smooth = sc.effectively_smooth(p.ax, p.ay)
+    ax = jnp.where(smooth, 0.25, p.ax)
+    ay = jnp.where(smooth, 0.25, p.ay)
+    return smooth, ax, ay
+
+
 # ----------------------------------------------------------------- evaluate
 
 
@@ -81,14 +94,14 @@ def f(p: BxdfParams, wo, wi):
     f_dt = jnp.where(same[..., None], p.refl * INV_PI, p.trans * INV_PI)
 
     # rough conductor
-    smooth = sc.effectively_smooth(p.ax, p.ay)
+    smooth, ax_s, ay_s = _safe_alphas(p)
     wm_r = wo + wi
     wm_len = vm.length(wm_r)
     wm = wm_r / jnp.maximum(wm_len, 1e-12)[..., None]
     wm = jnp.where((wm[..., 2] < 0.0)[..., None], -wm, wm)
     Fc = sc.fr_complex(vm.absdot(wo, wm)[..., None], p.eta_re, p.eta_im)
     denom = 4.0 * jnp.abs(cos_o * cos_i)
-    d_term = sc.tr_d(wm, p.ax, p.ay) * sc.tr_g(wo, wi, p.ax, p.ay)
+    d_term = sc.tr_d(wm, ax_s, ay_s) * sc.tr_g(wo, wi, ax_s, ay_s)
     f_cond = jnp.where(
         (same & ~smooth & (wm_len > 1e-9) & (denom > 1e-12))[..., None],
         Fc * (d_term / jnp.maximum(denom, 1e-12))[..., None],
@@ -106,8 +119,8 @@ def f(p: BxdfParams, wo, wi):
     wm_dn = jnp.where((wm_dn[..., 2] < 0.0)[..., None], -wm_dn, wm_dn)
     backfacing = (vm.dot(wm_dn, wi) * cos_i < 0.0) | (vm.dot(wm_dn, wo) * cos_o < 0.0)
     Fd, _, _ = sc.fr_dielectric(vm.dot(wo, wm_dn), p.eta)
-    D = sc.tr_d(wm_dn, p.ax, p.ay)
-    G = sc.tr_g(wo, wi, p.ax, p.ay)
+    D = sc.tr_d(wm_dn, ax_s, ay_s)
+    G = sc.tr_g(wo, wi, ax_s, ay_s)
     f_diel_r = D * Fd * G / jnp.maximum(4.0 * jnp.abs(cos_o * cos_i), 1e-12)
     denom_t = sqr(vm.dot(wi, wm_dn) + vm.dot(wo, wm_dn) / etap)
     f_diel_t = (
@@ -149,14 +162,14 @@ def pdf(p: BxdfParams, wo, wi, allow_refl=True, allow_trans=True):
     tot = jnp.maximum(pr + pt, 1e-12)
     pdf_dt = jnp.where(same, pr / tot, pt / tot) * jnp.abs(cos_i) * INV_PI
 
-    smooth = sc.effectively_smooth(p.ax, p.ay)
+    smooth, ax_s, ay_s = _safe_alphas(p)
     wm_r = wo + wi
     wm_len = vm.length(wm_r)
     wm = wm_r / jnp.maximum(wm_len, 1e-12)[..., None]
     wm_f = jnp.where((wm[..., 2] < 0.0)[..., None], -wm, wm)
     pdf_cond = jnp.where(
         same & ~smooth & (wm_len > 1e-9),
-        sc.tr_pdf(wo, wm_f, p.ax, p.ay) / jnp.maximum(4.0 * vm.absdot(wo, wm_f), 1e-12),
+        sc.tr_pdf(wo, wm_f, ax_s, ay_s) / jnp.maximum(4.0 * vm.absdot(wo, wm_f), 1e-12),
         0.0,
     )
 
@@ -172,12 +185,12 @@ def pdf(p: BxdfParams, wo, wi, allow_refl=True, allow_trans=True):
     R = Fd if allow_refl else jnp.zeros_like(Fd)
     Tt = (1.0 - Fd) if allow_trans else jnp.zeros_like(Fd)
     tot_d = jnp.maximum(R + Tt, 1e-12)
-    pdf_d_r = sc.tr_pdf(wo, wm_dn, p.ax, p.ay) / jnp.maximum(
+    pdf_d_r = sc.tr_pdf(wo, wm_dn, ax_s, ay_s) / jnp.maximum(
         4.0 * vm.absdot(wo, wm_dn), 1e-12
     ) * (R / tot_d)
     denom_t = sqr(vm.dot(wi, wm_dn) + vm.dot(wo, wm_dn) / etap)
     dwm_dwi = vm.absdot(wi, wm_dn) / jnp.maximum(denom_t, 1e-12)
-    pdf_d_t = sc.tr_pdf(wo, wm_dn, p.ax, p.ay) * dwm_dwi * (Tt / tot_d)
+    pdf_d_t = sc.tr_pdf(wo, wm_dn, ax_s, ay_s) * dwm_dwi * (Tt / tot_d)
     pdf_diel = jnp.where(refl_case, pdf_d_r, pdf_d_t)
     pdf_diel = jnp.where(smooth | backfacing | (wm_d_len2 < 1e-18), 0.0, pdf_diel)
 
@@ -210,7 +223,7 @@ def sample(p: BxdfParams, wo, uc, u2, allow_refl=True, allow_trans=True,
     Returns BSDFSample; for specular events pdf=1 and flags has F_SPECULAR.
     """
     cos_o = wo[..., 2]
-    smooth = sc.effectively_smooth(p.ax, p.ay)
+    smooth, ax_s, ay_s = _safe_alphas(p)
 
     # ---- diffuse / diffuse-transmission
     wi_cos = warps.sample_cosine_hemisphere(u2)
@@ -236,15 +249,15 @@ def sample(p: BxdfParams, wo, uc, u2, allow_refl=True, allow_trans=True,
     F_spec = sc.fr_complex(abs_cos_spec[..., None], p.eta_re, p.eta_im)
     f_cond_smooth = F_spec / abs_cos_spec[..., None]
 
-    wm = sc.tr_sample_wm(jnp.where((cos_o < 0.0)[..., None], -wo, wo), u2, p.ax, p.ay)
+    wm = sc.tr_sample_wm(jnp.where((cos_o < 0.0)[..., None], -wo, wo), u2, ax_s, ay_s)
     wm = jnp.where((cos_o < 0.0)[..., None], -wm, wm)
     wi_rough = sc.reflect(wo, wm)
     same_r = _same_hemisphere(wo, wi_rough)
     Fc = sc.fr_complex(vm.absdot(wo, wm)[..., None], p.eta_re, p.eta_im)
-    d_g = sc.tr_d(wm, p.ax, p.ay) * sc.tr_g(wo, wi_rough, p.ax, p.ay)
+    d_g = sc.tr_d(wm, ax_s, ay_s) * sc.tr_g(wo, wi_rough, ax_s, ay_s)
     denom = 4.0 * jnp.abs(cos_o * wi_rough[..., 2])
     f_cond_rough = Fc * (d_g / jnp.maximum(denom, 1e-12))[..., None]
-    pdf_cond_rough = sc.tr_pdf(wo, wm, p.ax, p.ay) / jnp.maximum(
+    pdf_cond_rough = sc.tr_pdf(wo, wm, ax_s, ay_s) / jnp.maximum(
         4.0 * vm.absdot(wo, wm), 1e-12
     )
     wi_cond = jnp.where(smooth[..., None], wi_spec, wi_rough)
@@ -286,19 +299,19 @@ def sample(p: BxdfParams, wo, uc, u2, allow_refl=True, allow_trans=True,
     choose_refl_r = uc < Rr / jnp.maximum(Rr + Tr, 1e-12)
     wi_r_refl = sc.reflect(wo, wm)
     same_rr = _same_hemisphere(wo, wi_r_refl)
-    D = sc.tr_d(wm, p.ax, p.ay)
-    G_r = sc.tr_g(wo, wi_r_refl, p.ax, p.ay)
+    D = sc.tr_d(wm, ax_s, ay_s)
+    G_r = sc.tr_g(wo, wi_r_refl, ax_s, ay_s)
     f_r_refl = D * G_r * Frd / jnp.maximum(
         4.0 * jnp.abs(cos_o * wi_r_refl[..., 2]), 1e-12
     )
-    pdf_r_refl = sc.tr_pdf(wo, wm, p.ax, p.ay) / jnp.maximum(
+    pdf_r_refl = sc.tr_pdf(wo, wm, ax_s, ay_s) / jnp.maximum(
         4.0 * vm.absdot(wo, wm), 1e-12
     ) * (Rr / jnp.maximum(Rr + Tr, 1e-12))
     wt_r, refr_valid_r, etap_r = sc.refract(wo, wm, p.eta)
     same_tt = _same_hemisphere(wo, wt_r)
     cos_i_t = wt_r[..., 2]
     denom_t = sqr(vm.dot(wt_r, wm) + vm.dot(wo, wm) / etap_r)
-    G_t = sc.tr_g(wo, wt_r, p.ax, p.ay)
+    G_t = sc.tr_g(wo, wt_r, ax_s, ay_s)
     f_r_trans = (
         D
         * (1.0 - Frd)
@@ -311,7 +324,7 @@ def sample(p: BxdfParams, wo, uc, u2, allow_refl=True, allow_trans=True,
     if mode_radiance:
         f_r_trans = f_r_trans / sqr(etap_r)
     dwm_dwi = vm.absdot(wt_r, wm) / jnp.maximum(denom_t, 1e-12)
-    pdf_r_trans = sc.tr_pdf(wo, wm, p.ax, p.ay) * dwm_dwi * (
+    pdf_r_trans = sc.tr_pdf(wo, wm, ax_s, ay_s) * dwm_dwi * (
         Tr / jnp.maximum(Rr + Tr, 1e-12)
     )
     wi_d_rough = jnp.where(choose_refl_r[..., None], wi_r_refl, wt_r)

@@ -64,11 +64,13 @@ def tr_sample_wm(w, u, ax, ay):
     wh = vm.normalize(jnp.stack([ax * w[..., 0], ay * w[..., 1], w[..., 2]], axis=-1))
     wh = jnp.where((wh[..., 2] < 0.0)[..., None], -wh, wh)
     up = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wh.shape)
-    t1 = jnp.where(
-        (wh[..., 2] < 0.999)[..., None],
-        vm.normalize(vm.cross(up, wh)),
-        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), wh.shape),
-    )
+    xaxis = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), wh.shape)
+    # double-where: normalize() of a near-zero cross has an unbounded VJP;
+    # feed the unselected lanes a safe vector BEFORE normalizing, or the
+    # 0-cotangent x inf-Jacobian product NaNs every geometry gradient
+    not_polar = (wh[..., 2] < 0.999)[..., None]
+    c = jnp.where(not_polar, vm.cross(up, wh), xaxis)
+    t1 = jnp.where(not_polar, vm.normalize(c), xaxis)
     t2 = vm.cross(wh, t1)
     p = warps.sample_uniform_disk_polar(u)  # (..., 2)
     h = safe_sqrt(1.0 - sqr(p[..., 0]))
@@ -114,6 +116,11 @@ def fr_complex(cos_theta_i, eta_re, eta_im):
     or broadcastable (reference util/scattering.h FrComplex via complex.h)."""
     cos_i = jnp.clip(cos_theta_i, 0.0, 1.0)
     sin2_i = 1.0 - sqr(cos_i)
+    # |eta| == 0 (non-conductor lanes carry an all-zero placeholder spectrum
+    # row) would divide by zero below: the NaN PRIMAL in this unselected
+    # branch then poisons reverse-mode through every jnp.where that masks it
+    degenerate = sqr(eta_re) + sqr(eta_im) < 1e-12
+    eta_re = jnp.where(degenerate, 1.0, eta_re)
     eta = eta_re + 1j * eta_im
     sin2_t = sin2_i / (eta * eta)
     cos_t = jnp.sqrt(1.0 + 0j - sin2_t)

@@ -25,12 +25,21 @@ from pbrt_tpu.spectral import sampled, colorspace
 
 
 class DiffParams(NamedTuple):
-    """The continuously-differentiable subset of SceneArrays."""
+    """The continuously-differentiable subset of SceneArrays.
+
+    Detached-by-design decisions (not represented here): BVH hit ids, RR and
+    lobe/light choices (integer selects), and sampled scatter DIRECTIONS
+    (bxdfs.sample detaches wi — see the note there). Camera pose gradients
+    flow through the PRIMARY ray geometry only, which is exactly the
+    first-order term an inverse-rendering pose solve uses.
+    """
 
     lt_scale: jnp.ndarray     # (L,) light emission multipliers
     mat_refl_c: jnp.ndarray   # (M,3) albedo sigmoid-polynomial coefficients
     mat_urough: jnp.ndarray   # (M,)
     mat_vrough: jnp.ndarray   # (M,)
+    cam_pose: jnp.ndarray     # (4,4) render_from_camera
+    tex_data: jnp.ndarray     # (TOTAL,3) texture atlas texels
 
 
 def get_params(scene) -> DiffParams:
@@ -39,6 +48,8 @@ def get_params(scene) -> DiffParams:
         mat_refl_c=scene.mat_refl_c,
         mat_urough=scene.mat_urough,
         mat_vrough=scene.mat_vrough,
+        cam_pose=scene.render_from_camera,
+        tex_data=scene.tex.imgs.data,
     )
 
 
@@ -48,6 +59,8 @@ def apply_params(scene, p: DiffParams):
         mat_refl_c=p.mat_refl_c,
         mat_urough=p.mat_urough,
         mat_vrough=p.mat_vrough,
+        render_from_camera=p.cam_pose,
+        tex=scene.tex._replace(imgs=scene.tex.imgs._replace(data=p.tex_data)),
     )
 
 

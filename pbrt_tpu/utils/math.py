@@ -87,6 +87,29 @@ def lerp(t, a, b):
     return (1.0 - t) * a + t * b
 
 
+def clip_grad(x, limit=1e4):
+    """Identity primal; cotangents clipped to [-limit, limit] and NaN/inf
+    zeroed. Geometry Jacobians are genuinely unbounded at silhouettes
+    (d t/d ray -> inf at sphere tangency — the true derivative is a boundary
+    term interior AD cannot represent), so clipping at the primitive
+    boundary is the principled regularization: it keeps every shared-
+    parameter gradient finite without touching the primal."""
+
+    @jax.custom_vjp
+    def _id(v):
+        return v
+
+    def _fwd(v):
+        return v, None
+
+    def _bwd(_, g):
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        return (jnp.clip(g, -limit, limit),)
+
+    _id.defvjp(_fwd, _bwd)
+    return _id(x)
+
+
 def clamp01(x):
     return jnp.clip(x, 0.0, 1.0)
 
