@@ -47,8 +47,14 @@ from pbrt_tpu.utils.math import INFINITY, encode_morton3, gamma
 from pbrt_tpu.geometry import intersect as ix
 
 # Leaf size: each leaf holds exactly K morton-consecutive triangles; one
-# leaf visit costs one row gather + K masked watertight tests.
-LEAF_K = 4
+# leaf visit costs one row gather + K masked watertight tests. Bigger K
+# shrinks the tree and (critically, for masked-dense execution) the WORST
+# lane's visit count — silhouette-grazing rays cross O(sqrt(T)/K) leaf
+# cells and every extra iteration runs on all lanes. Env-overridable for
+# tuning (tools/bench_bvh.py).
+import os as _os
+
+LEAF_K = int(_os.environ.get("PBRT_TPU_BVH_LEAF_K", "8"))
 # Scenes below this triangle count use the dense all-pairs kernel instead.
 MIN_TRIS_FOR_BVH = 64
 
@@ -56,8 +62,11 @@ MIN_TRIS_FOR_BVH = 64
 class BvhBuild(NamedTuple):
     """Host-side build result."""
 
-    nodes: np.ndarray      # (P-1, 12) f32 [lmin lmax rmin rmax] per internal
-    leaf_tris: np.ndarray  # (P, K*9) f32 [p0 p1 p2] x K per chunk
+    rows: np.ndarray       # (2P-1, max(12, K*9)) f32 — ONE table: internal
+                           # row i = [lmin lmax rmin rmax pad...], leaf row
+                           # P-1+c = [p0 p1 p2] x K of chunk c. A traversal
+                           # step is then a single wide gather whether the
+                           # lane is at an internal node or a leaf.
     perm: np.ndarray       # (T,) original-index of sorted triangle i
     n_padded: int          # T rounded up to P * K
 
@@ -119,7 +128,8 @@ def build_bvh(p0, p1, p2, leaf_k=LEAF_K):
         )
         level_start = parent_start
 
-    # pack both children's bounds into the parent row
+    # pack both children's bounds into the parent row; unify with the leaf
+    # rows into one table so every traversal step is exactly one gather
     n_int = P - 1
     i = np.arange(n_int)
     nodes = np.concatenate(
@@ -129,10 +139,13 @@ def build_bvh(p0, p1, p2, leaf_k=LEAF_K):
         ],
         axis=1,
     ).astype(np.float32) if n_int else np.zeros((0, 12), np.float32)
+    W = max(12, leaf_k * 9)
+    rows = np.zeros((2 * P - 1, W), np.float32)
+    rows[:n_int, :12] = nodes
+    rows[n_int:, : leaf_k * 9] = leaf_tris
 
     return BvhBuild(
-        nodes=nodes,
-        leaf_tris=leaf_tris,
+        rows=rows,
         perm=perm,
         n_padded=n_padded,
     )
@@ -168,16 +181,17 @@ def _slab(o, inv_d, nmin, nmax, t_best):
 _DONE = jnp.int32(-1)
 
 
-def _traverse(nodes, leaf_tris, o, d, t_max, any_hit=False):
+def _traverse(rows, leaf_k, o, d, t_max, any_hit=False):
     """Stack-based traversal over the implicit tree.
 
-    nodes: (P-1, 12); leaf_tris: (P, K*9).  o, d: (R, 3); t_max: (R,).
-    Returns (t (R,), prim (R,) i32, -1 on miss). Discrete only — call
-    intersect_tri_lanes on the winner for the differentiable record.
+    rows: (2P-1, max(12, K*9)) unified node/leaf table.  o, d: (R, 3);
+    t_max: (R,). Returns (t (R,), prim (R,) i32, -1 on miss). Discrete only
+    — call intersect_tri_lanes on the winner for the differentiable record.
     """
-    n_int = nodes.shape[0]
-    P = n_int + 1
-    K = leaf_tris.shape[1] // 9
+    n_nodes = rows.shape[0]
+    P = (n_nodes + 1) // 2
+    n_int = P - 1
+    K = leaf_k
     depth = max(1, int(np.log2(P)) + 1)
     R = o.shape[0]
 
@@ -186,8 +200,7 @@ def _traverse(nodes, leaf_tris, o, d, t_max, any_hit=False):
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     t_max = jax.lax.stop_gradient(t_max)
-    nodes = jax.lax.stop_gradient(nodes)
-    leaf_tris = jax.lax.stop_gradient(leaf_tris)
+    rows = jax.lax.stop_gradient(rows)
 
     inv_d = _safe_inv(d)
 
@@ -221,10 +234,10 @@ def _traverse(nodes, leaf_tris, o, d, t_max, any_hit=False):
         cur = jnp.maximum(st.cur, 0)
         is_leaf = live & (cur >= n_int)
 
-        # ---- leaf: one row gather covers all K prims (masked on non-leaf)
+        # ---- ONE gather serves both cases: internal bounds or leaf tris
+        row = rows[cur]                              # (R, W)
         t_best, prim = st.t_best, st.prim
         chunk = jnp.clip(cur - n_int, 0, P - 1)
-        row = leaf_tris[chunk]                      # (R, K*9)
         for k in range(K):
             p0 = row[:, k * 9: k * 9 + 3]
             p1 = row[:, k * 9 + 3: k * 9 + 6]
@@ -236,10 +249,9 @@ def _traverse(nodes, leaf_tris, o, d, t_max, any_hit=False):
 
         found = prim >= 0
 
-        # ---- internal: one row gather gives both children's bounds
-        nrow = nodes[jnp.minimum(cur, max(n_int - 1, 0))]  # (R, 12)
-        tn_l, hit_l = _slab(o, inv_d, nrow[:, 0:3], nrow[:, 3:6], t_best)
-        tn_r, hit_r = _slab(o, inv_d, nrow[:, 6:9], nrow[:, 9:12], t_best)
+        # ---- internal: the same row holds both children's bounds
+        tn_l, hit_l = _slab(o, inv_d, row[:, 0:3], row[:, 3:6], t_best)
+        tn_r, hit_r = _slab(o, inv_d, row[:, 6:9], row[:, 9:12], t_best)
         l = 2 * cur + 1
         r = l + 1
         is_int = live & ~is_leaf
@@ -269,7 +281,11 @@ def _traverse(nodes, leaf_tris, o, d, t_max, any_hit=False):
             need_pop &= ~found
         can_pop = need_pop & (sp > 0)
         sp_pop = jnp.maximum(sp - 1, 0)
-        popped = jnp.take_along_axis(stack, sp_pop[:, None], axis=1)[:, 0]
+        # select, not gather: a take_along_axis here costs a full scalar-unit
+        # pass per iteration; a depth-wide where-chain is VPU-free
+        popped = jnp.sum(
+            jnp.where(slot_ids[None, :] == sp_pop[:, None], stack, 0), axis=1
+        )
         cur_next = jnp.where(
             is_int & descend,
             go,
@@ -295,7 +311,7 @@ def closest_hit_tris(scene, o, d, t_max):
     are already stored in that order by the compiler).
     """
     t_disc, prim = _traverse(
-        scene.bvh_nodes, scene.bvh_leaf_tris, o, d, t_max,
+        scene.bvh_rows, LEAF_K, o, d, t_max,
     )
     found = prim >= 0
     pc = jnp.maximum(prim, 0)
@@ -314,6 +330,6 @@ def closest_hit_tris(scene, o, d, t_max):
 def any_hit_tris(scene, o, d, t_max):
     """BVH shadow query: True where some triangle blocks (R,)."""
     _, prim = _traverse(
-        scene.bvh_nodes, scene.bvh_leaf_tris, o, d, t_max, any_hit=True,
+        scene.bvh_rows, LEAF_K, o, d, t_max, any_hit=True,
     )
     return prim >= 0

@@ -50,7 +50,7 @@ def intersect(scene, o, d, t_max) -> SceneHit:
     have_sph = scene.sph_center.shape[0] > 0
     have_dsk = scene.dsk_center.shape[0] > 0
 
-    use_bvh = scene.bvh_nodes.shape[0] > 0  # static shape switch
+    use_bvh = scene.bvh_rows.shape[0] > 0  # static shape switch
 
     t_tri = jnp.full((R,), INFINITY)
     if have_tris:
@@ -188,7 +188,7 @@ def occluded(scene, o, d, t_max):
     d = clip_grad(d)
     occ = jnp.zeros(o.shape[:1], bool)
     if scene.tri_p0.shape[0] > 0:
-        if scene.bvh_nodes.shape[0] > 0:
+        if scene.bvh_rows.shape[0] > 0:
             occ |= bvh.any_hit_tris(scene, o, d, t_max)
         else:
             occ |= ix.occluded_tris_dense(o, d, t_max, _tris(scene))

@@ -40,8 +40,7 @@ class SceneArrays(NamedTuple):
     tri_rev: jnp.ndarray
     # BVH over triangles (accel/bvh.py): implicit complete binary tree
     # bounds; (0, 3) when the scene is small enough for the dense kernel
-    bvh_nodes: jnp.ndarray       # (P-1, 12) f32 packed children bounds
-    bvh_leaf_tris: jnp.ndarray   # (P, K*9) f32 packed leaf triangles
+    bvh_rows: jnp.ndarray        # (2P-1, max(12, K*9)) unified node/leaf table
     tri_rec: jnp.ndarray         # (T, 24) f32 packed per-tri hit record
                                  # [n0 n1 n2 uv0 uv1 uv2 mat light rev has_n
                                  #  med_in med_out] (BVH scenes only; ids as
@@ -245,8 +244,7 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         tri_light = reorder_pad(tri_light, -1)
         tri_rev = reorder_pad(tri_rev, False)
         tri_med_arr = reorder_pad(tri_med_arr, -1)
-        bvh_nodes = bvh.nodes
-        bvh_leaf_tris = bvh.leaf_tris
+        bvh_rows = bvh.rows
         # one wide row per triangle for hit-record assembly: a single gather
         # instead of ~14 (gathers cost per ROW on TPU, width nearly free)
         tri_rec = np.concatenate(
@@ -262,8 +260,7 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
             axis=1,
         )
     else:
-        bvh_nodes = np.zeros((0, 12), np.float32)
-        bvh_leaf_tris = np.zeros((0, 9 * bvhlib.LEAF_K), np.float32)
+        bvh_rows = np.zeros((0, max(12, 9 * bvhlib.LEAF_K)), np.float32)
         tri_rec = np.zeros((0, 24), np.float32)
 
     # ---- spheres
@@ -481,8 +478,7 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         tri_mat=jnp.asarray(tri_mat),
         tri_light=jnp.asarray(tri_light),
         tri_rev=jnp.asarray(tri_rev),
-        bvh_nodes=jnp.asarray(bvh_nodes),
-        bvh_leaf_tris=jnp.asarray(bvh_leaf_tris),
+        bvh_rows=jnp.asarray(bvh_rows),
         tri_rec=jnp.asarray(tri_rec),
         sph_center=jnp.asarray(sph_center, jnp.float32),
         sph_radius=jnp.asarray(sph_radius, jnp.float32),

@@ -33,8 +33,7 @@ def _scene_of(p0, p1, p2):
         tri_p0=jnp.asarray(pad(p0)),
         tri_p1=jnp.asarray(pad(p1)),
         tri_p2=jnp.asarray(pad(p2)),
-        bvh_nodes=jnp.asarray(build.nodes),
-        bvh_leaf_tris=jnp.asarray(build.leaf_tris),
+        bvh_rows=jnp.asarray(build.rows),
     )
 
 
@@ -110,9 +109,9 @@ def test_bvh_used_in_compiled_scene():
     from pbrt_tpu.scene.testscenes import cornell, cornell_mesh
 
     scene, meta = cornell(res=8, spp=1)
-    assert scene.bvh_nodes.shape[0] == 0  # small scene stays dense
+    assert scene.bvh_rows.shape[0] == 0  # small scene stays dense
     scene2, meta2 = cornell_mesh(res=8, spp=1, levels=3)
-    assert scene2.bvh_nodes.shape[0] > 0
+    assert scene2.bvh_rows.shape[0] > 0
     assert meta2.n_tris >= 1000
 
 
@@ -127,7 +126,7 @@ def test_bvh_render_matches_dense_render():
 
     res = 16
     scene, meta = cornell_mesh(res=res, spp=1, levels=3)
-    scene_dense = scene._replace(bvh_nodes=jnp.zeros((0, 12)))
+    scene_dense = scene._replace(bvh_rows=jnp.zeros((0, scene.bvh_rows.shape[1])))
     pix = jnp.arange(res * res, dtype=jnp.int32)
 
     def render(sc):

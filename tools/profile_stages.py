@@ -53,7 +53,7 @@ def main():
     else:
         scene, meta = ts.cornell_mesh(res=256, spp=4, levels=7)
     print(f"scene={which} R={R} tris={meta.n_tris} "
-          f"bvh_nodes={scene.bvh_nodes.shape[0]} dev={jax.devices()}", flush=True)
+          f"bvh_nodes={scene.bvh_rows.shape[0]} dev={jax.devices()}", flush=True)
 
     n_pixels = 256 * 256
     pixel_ids = jnp.arange(R, dtype=jnp.int32) % n_pixels
