@@ -54,7 +54,7 @@ from pbrt_tpu.geometry import intersect as ix
 # tuning (tools/bench_bvh.py).
 import os as _os
 
-LEAF_K = int(_os.environ.get("PBRT_TPU_BVH_LEAF_K", "8"))
+LEAF_K = int(_os.environ.get("PBRT_TPU_BVH_LEAF_K", "4"))
 # Scenes below this triangle count use the dense all-pairs kernel instead.
 MIN_TRIS_FOR_BVH = 64
 
@@ -181,6 +181,15 @@ def _slab(o, inv_d, nmin, nmax, t_best):
 _DONE = jnp.int32(-1)
 
 
+class _St(NamedTuple):
+    cur: jnp.ndarray      # (R,) node id or _DONE
+    sp: jnp.ndarray       # (R,) stack pointer
+    stack: jnp.ndarray    # (R, depth)
+    t_best: jnp.ndarray   # (R,)
+    prim: jnp.ndarray     # (R,)
+    it: jnp.ndarray       # () iteration counter (stage cap / safety bound)
+
+
 def _traverse(rows, leaf_k, o, d, t_max, any_hit=False):
     """Stack-based traversal over the implicit tree.
 
@@ -204,14 +213,6 @@ def _traverse(rows, leaf_k, o, d, t_max, any_hit=False):
 
     inv_d = _safe_inv(d)
 
-    class _St(NamedTuple):
-        cur: jnp.ndarray      # (R,) node id or _DONE
-        sp: jnp.ndarray       # (R,) stack pointer
-        stack: jnp.ndarray    # (R, depth)
-        t_best: jnp.ndarray   # (R,)
-        prim: jnp.ndarray     # (R,)
-        it: jnp.ndarray       # () iteration counter (hard safety bound)
-
     st = _St(
         cur=jnp.zeros((R,), jnp.int32),  # start at the root (internal)
         sp=jnp.zeros((R,), jnp.int32),
@@ -226,80 +227,170 @@ def _traverse(rows, leaf_k, o, d, t_max, any_hit=False):
     # is a traversal bug — terminate rather than wedge the chip's watchdog
     max_iters = jnp.int32(2 * (2 * P - 1) + 8)
 
-    def cond(st):
-        return jnp.any(st.cur != _DONE) & (st.it < max_iters)
+    def make_cond(cap):
+        def cond(st):
+            return jnp.any(st.cur != _DONE) & (st.it < cap)
+        return cond
 
-    def body(st):
-        live = st.cur != _DONE
-        cur = jnp.maximum(st.cur, 0)
-        is_leaf = live & (cur >= n_int)
+    def make_body(o, d, inv_d):
+        def body(st):
+            live = st.cur != _DONE
+            cur = jnp.maximum(st.cur, 0)
+            is_leaf = live & (cur >= n_int)
 
-        # ---- ONE gather serves both cases: internal bounds or leaf tris
-        row = rows[cur]                              # (R, W)
-        t_best, prim = st.t_best, st.prim
-        chunk = jnp.clip(cur - n_int, 0, P - 1)
-        for k in range(K):
-            p0 = row[:, k * 9: k * 9 + 3]
-            p1 = row[:, k * 9 + 3: k * 9 + 6]
-            p2 = row[:, k * 9 + 6: k * 9 + 9]
-            t_k, _, hit_k = ix.intersect_tri_lanes(o, d, t_best, p0, p1, p2)
-            better = is_leaf & hit_k & (t_k < t_best)
-            t_best = jnp.where(better, t_k, t_best)
-            prim = jnp.where(better, chunk * K + k, prim)
+            # ---- ONE gather serves both cases: internal bounds or leaf tris
+            row = rows[cur]                              # (R, W)
+            t_best, prim = st.t_best, st.prim
+            chunk = jnp.clip(cur - n_int, 0, P - 1)
+            for k in range(K):
+                p0 = row[:, k * 9: k * 9 + 3]
+                p1 = row[:, k * 9 + 3: k * 9 + 6]
+                p2 = row[:, k * 9 + 6: k * 9 + 9]
+                t_k, _, hit_k = ix.intersect_tri_lanes(o, d, t_best, p0, p1, p2)
+                better = is_leaf & hit_k & (t_k < t_best)
+                t_best = jnp.where(better, t_k, t_best)
+                prim = jnp.where(better, chunk * K + k, prim)
 
-        found = prim >= 0
+            found = prim >= 0
 
-        # ---- internal: the same row holds both children's bounds
-        tn_l, hit_l = _slab(o, inv_d, row[:, 0:3], row[:, 3:6], t_best)
-        tn_r, hit_r = _slab(o, inv_d, row[:, 6:9], row[:, 9:12], t_best)
-        l = 2 * cur + 1
-        r = l + 1
-        is_int = live & ~is_leaf
-        hit_l &= is_int
-        hit_r &= is_int
-        l_near = tn_l <= tn_r
-        near = jnp.where(l_near, l, r)
-        far = jnp.where(l_near, r, l)
-        hit_near = jnp.where(l_near, hit_l, hit_r)
-        hit_far = jnp.where(l_near, hit_r, hit_l)
-        both = hit_near & hit_far
+            # ---- internal: the same row holds both children's bounds
+            tn_l, hit_l = _slab(o, inv_d, row[:, 0:3], row[:, 3:6], t_best)
+            tn_r, hit_r = _slab(o, inv_d, row[:, 6:9], row[:, 9:12], t_best)
+            l = 2 * cur + 1
+            r = l + 1
+            is_int = live & ~is_leaf
+            hit_l &= is_int
+            hit_r &= is_int
+            l_near = tn_l <= tn_r
+            near = jnp.where(l_near, l, r)
+            far = jnp.where(l_near, r, l)
+            hit_near = jnp.where(l_near, hit_l, hit_r)
+            hit_far = jnp.where(l_near, hit_r, hit_l)
+            both = hit_near & hit_far
 
-        # push far where both children hit (per-lane scatter via one-hot)
-        stack = jnp.where(
-            (slot_ids[None, :] == st.sp[:, None]) & both[:, None],
-            far[:, None],
-            st.stack,
+            # push far where both children hit (per-lane one-hot scatter)
+            stack = jnp.where(
+                (slot_ids[None, :] == st.sp[:, None]) & both[:, None],
+                far[:, None],
+                st.stack,
+            )
+            sp = st.sp + both.astype(jnp.int32)
+
+            # next node: descend if any child hit, else pop
+            descend = hit_near | hit_far
+            go = jnp.where(hit_near, near, far)
+            need_pop = live & (is_leaf | ~descend)
+            if any_hit:
+                # terminated lanes (shadow hit found) never pop again
+                need_pop &= ~found
+            can_pop = need_pop & (sp > 0)
+            sp_pop = jnp.maximum(sp - 1, 0)
+            # select, not gather: a take_along_axis here costs a full
+            # scalar-unit pass per iteration; a where-chain is VPU-free
+            popped = jnp.sum(
+                jnp.where(slot_ids[None, :] == sp_pop[:, None], stack, 0), axis=1
+            )
+            cur_next = jnp.where(
+                is_int & descend,
+                go,
+                jnp.where(can_pop, popped, _DONE),
+            )
+            if any_hit:
+                cur_next = jnp.where(found, _DONE, cur_next)
+            sp = jnp.where(can_pop, sp_pop, sp)
+            cur_next = jnp.where(live, cur_next, _DONE)
+
+            return _St(cur=cur_next, sp=sp, stack=stack, t_best=t_best,
+                       prim=prim, it=st.it + 1)
+        return body
+
+    body = make_body(o, d, inv_d)
+
+    # ---- stage 1: full width, capped near the p90 visit count. Masked-dense
+    # execution is gated by the WORST lane (a silhouette-grazing ray visits
+    # O(sqrt(T)) leaf cells; measured p50 ~26, p90 ~35, max ~800 on
+    # cornell-mesh) — running the tail at full width would cost 10-100x the
+    # useful work, so the stragglers are COMPACTED into a narrow buffer.
+    cap1 = jnp.int32(6 * depth + 16)
+    st = jax.lax.while_loop(make_cond(cap1), body, st)
+
+    def compact(st, R_T):
+        """Gather the unfinished lanes (stable, unfinished-first) into an
+        R_T-wide buffer. Returns (sel indices, sub state)."""
+        unfinished = st.cur != _DONE
+        order = jnp.argsort(jnp.where(unfinished, 0, 1).astype(jnp.int32),
+                            stable=True)
+        sel = order[:R_T]
+        sub = _St(
+            cur=st.cur[sel], sp=st.sp[sel], stack=st.stack[sel],
+            t_best=st.t_best[sel], prim=st.prim[sel], it=jnp.int32(0),
         )
-        sp = st.sp + both.astype(jnp.int32)
+        return sel, sub
 
-        # next node: descend if any child hit, else pop
-        descend = hit_near | hit_far
-        go = jnp.where(hit_near, near, far)
-        need_pop = live & (is_leaf | ~descend)
-        if any_hit:
-            # terminated lanes (shadow hit found) never pop again
-            need_pop &= ~found
-        can_pop = need_pop & (sp > 0)
-        sp_pop = jnp.maximum(sp - 1, 0)
-        # select, not gather: a take_along_axis here costs a full scalar-unit
-        # pass per iteration; a depth-wide where-chain is VPU-free
-        popped = jnp.sum(
-            jnp.where(slot_ids[None, :] == sp_pop[:, None], stack, 0), axis=1
+    def scatter(st, sel, sub):
+        return st._replace(
+            cur=st.cur.at[sel].set(sub.cur),
+            sp=st.sp.at[sel].set(sub.sp),
+            stack=st.stack.at[sel].set(sub.stack),
+            t_best=st.t_best.at[sel].set(sub.t_best),
+            prim=st.prim.at[sel].set(sub.prim),
+            it=jnp.int32(0),
         )
-        cur_next = jnp.where(
-            is_int & descend,
-            go,
-            jnp.where(can_pop, popped, _DONE),
-        )
-        if any_hit:
-            cur_next = jnp.where(found, _DONE, cur_next)
-        sp = jnp.where(can_pop, sp_pop, sp)
-        cur_next = jnp.where(live, cur_next, _DONE)
 
-        return _St(cur=cur_next, sp=sp, stack=stack, t_best=t_best, prim=prim,
-                   it=st.it + 1)
+    # ---- stage 2: the stragglers (typically <5%) continue in an R/8 buffer
+    R_T = R // 8
+    if R_T >= 64:
+        sel, sub = compact(st, R_T)
+        body_sub = make_body(o[sel], d[sel], inv_d[sel])
+        cap2 = jnp.int32(20 * depth)
+        sub = jax.lax.while_loop(make_cond(cap2), body_sub, sub)
 
-    st = jax.lax.while_loop(cond, body, st)
+        # ---- stage 3: the EXTREME tail (silhouette-grazing rays visit
+        # O(sqrt(T)) leaf cells — thousands of iterations that would gate
+        # everyone). A few hundred lanes brute-forced densely over the
+        # whole padded soup is cheap VPU work and exactly correct.
+        R_D = max(256, R // 512)
+        if R_D < R_T:
+            sel2, sub2 = compact(sub, R_D)
+            o2, d2 = o[sel][sel2], d[sel][sel2]
+            soup = rows[n_int:, : K * 9].reshape(P * K, 9)
+            TB = 4096  # triangles per dense block
+
+            def dense_blk(i, carry):
+                t_best, prim = carry
+                blk = jax.lax.dynamic_slice(soup, (i * TB, 0), (TB, 9))
+                t_b, _, hit_b = ix.intersect_tri_block(
+                    o2, d2, t_best, blk[:, 0:3], blk[:, 3:6], blk[:, 6:9]
+                )
+                t_b = jnp.where(hit_b, t_b, jnp.inf)
+                best = jnp.argmin(t_b, axis=-1)
+                rr = jnp.arange(o2.shape[0])
+                tb_best = t_b[rr, best]
+                better = tb_best < t_best
+                t_best = jnp.where(better, tb_best, t_best)
+                prim = jnp.where(better, (i * TB + best).astype(jnp.int32), prim)
+                return t_best, prim
+
+            n_blk = -(-(P * K) // TB)
+            live2 = sub2.cur != _DONE
+            t3, p3 = jax.lax.fori_loop(
+                0, n_blk, dense_blk, (sub2.t_best, sub2.prim)
+            )
+            if any_hit:
+                # a dense pass finds the closest hit, which answers any-hit too
+                pass
+            sub2 = sub2._replace(
+                t_best=jnp.where(live2, t3, sub2.t_best),
+                prim=jnp.where(live2, p3, sub2.prim),
+                cur=jnp.where(live2, _DONE, sub2.cur),
+            )
+            sub = scatter(sub, sel2, sub2)
+        st = scatter(st, sel, sub)
+
+    # ---- safety net: if a compaction buffer overflowed this completes the
+    # overflow at full width; otherwise it runs ZERO iterations (the cond is
+    # false immediately) and costs nothing.
+    st = jax.lax.while_loop(make_cond(max_iters), body, st)
     return st.t_best, st.prim
 
 

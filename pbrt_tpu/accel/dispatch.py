@@ -36,6 +36,29 @@ def _tris(scene):
     return ix.TriangleSoA(scene.tri_p0, scene.tri_p1, scene.tri_p2)
 
 
+def _spheres(scene):
+    """SphereSoA with clip fields only when a partial sphere exists (static
+    marker), so full-sphere scenes compile none of the clip code."""
+    if scene.sph_partial_marker.shape[0] > 0:
+        return ix.SphereSoA(
+            scene.sph_center, scene.sph_radius,
+            rot=scene.sph_rot, zmin=scene.sph_zmin,
+            zmax=scene.sph_zmax, phimax=scene.sph_phimax,
+        )
+    return ix.SphereSoA(scene.sph_center, scene.sph_radius)
+
+
+def _disks(scene):
+    if scene.dsk_partial_marker.shape[0] > 0:
+        return ix.DiskSoA(
+            scene.dsk_center, scene.dsk_normal, scene.dsk_radius,
+            scene.dsk_inner, xaxis=scene.dsk_xaxis, yaxis=scene.dsk_yaxis,
+            phimax=scene.dsk_phimax,
+        )
+    return ix.DiskSoA(scene.dsk_center, scene.dsk_normal,
+                      scene.dsk_radius, scene.dsk_inner)
+
+
 def intersect(scene, o, d, t_max) -> SceneHit:
     from pbrt_tpu.utils.math import clip_grad
 
@@ -60,15 +83,14 @@ def intersect(scene, o, d, t_max) -> SceneHit:
             th = ix.intersect_tris_dense(o, d, t_max, _tris(scene))
         t_tri = th.t
     if have_sph:
-        t_s, idx_s, p_s, n_s = ix.intersect_spheres_dense(o, d, t_max, ix.SphereSoA(scene.sph_center, scene.sph_radius))
+        t_s, idx_s, p_s, n_s = ix.intersect_spheres_dense(
+            o, d, t_max, _spheres(scene)
+        )
     else:
         t_s = jnp.full((R,), INFINITY)
 
     if have_dsk:
-        t_d, idx_d, p_d, n_d = ix.intersect_disks_dense(
-            o, d, t_max, ix.DiskSoA(scene.dsk_center, scene.dsk_normal,
-                                    scene.dsk_radius, scene.dsk_inner)
-        )
+        t_d, idx_d, p_d, n_d = ix.intersect_disks_dense(o, d, t_max, _disks(scene))
     else:
         t_d = jnp.full((R,), INFINITY)
 
@@ -130,8 +152,23 @@ def intersect(scene, o, d, t_max) -> SceneHit:
         sph = jnp.maximum(idx_s, 0)
         mat_s = take_rows(scene.sph_mat, sph)
         light_s = take_rows(scene.sph_light, sph)
-        # sphere uv: spherical coords (phi, theta) — minimal v0
-        uv_s = jnp.zeros((R, 2))
+        # sphere uv (reference sphere.h:74-81): u = phi/phimax,
+        # v = (theta - theta_zmin) / (theta_zmax - theta_zmin) in the
+        # object frame
+        rot_s = take_rows(scene.sph_rot, sph)            # (R,3,3)
+        rad_s = jnp.maximum(take_rows(scene.sph_radius, sph), 1e-12)
+        rel_s = p_s - take_rows(scene.sph_center, sph)
+        local = jnp.einsum("rji,rj->ri", rot_s, rel_s)
+        phi_s = jnp.arctan2(local[:, 1], local[:, 0])
+        phi_s = jnp.where(phi_s < 0.0, phi_s + 2.0 * jnp.pi, phi_s)
+        from pbrt_tpu.utils.math import safe_acos
+
+        theta = safe_acos(jnp.clip(local[:, 2] / rad_s, -1.0, 1.0))
+        th_min = safe_acos(jnp.clip(take_rows(scene.sph_zmax, sph) / rad_s, -1.0, 1.0))
+        th_max = safe_acos(jnp.clip(take_rows(scene.sph_zmin, sph) / rad_s, -1.0, 1.0))
+        u_s = phi_s / jnp.maximum(take_rows(scene.sph_phimax, sph), 1e-6)
+        v_s = (theta - th_min) / jnp.maximum(th_max - th_min, 1e-6)
+        uv_s = jnp.stack([u_s, v_s], axis=-1)
         p_hit = jnp.where(use_sphere[..., None], p_s, p_t)
         ng = jnp.where(use_sphere[..., None], n_s, ng_adj)
         ns = jnp.where(use_sphere[..., None], n_s, ns_t)
@@ -193,14 +230,9 @@ def occluded(scene, o, d, t_max):
         else:
             occ |= ix.occluded_tris_dense(o, d, t_max, _tris(scene))
     if scene.sph_center.shape[0] > 0:
-        t_s, idx_s, _, _ = ix.intersect_spheres_dense(
-            o, d, t_max, ix.SphereSoA(scene.sph_center, scene.sph_radius)
-        )
+        t_s, idx_s, _, _ = ix.intersect_spheres_dense(o, d, t_max, _spheres(scene))
         occ |= idx_s >= 0
     if scene.dsk_center.shape[0] > 0:
-        t_d, idx_d, _, _ = ix.intersect_disks_dense(
-            o, d, t_max, ix.DiskSoA(scene.dsk_center, scene.dsk_normal,
-                                    scene.dsk_radius, scene.dsk_inner)
-        )
+        t_d, idx_d, _, _ = ix.intersect_disks_dense(o, d, t_max, _disks(scene))
         occ |= idx_d >= 0
     return occ

@@ -195,12 +195,17 @@ def occluded_tris_dense(o, d, t_max, tris: TriangleSoA):
 
 
 class SphereSoA(NamedTuple):
-    """Spheres: center (S, 3), radius (S,). Full spheres only for now
-    (reference sphere.h supports z_min/z_max clipping — unused by the
-    bundled scenes)."""
+    """Spheres: center (S, 3), radius (S,). The optional clip fields enable
+    PARTIAL spheres (reference shapes/sphere.cu:15-26 zmin/zmax/phimax):
+    rot is the object-frame rotation, z window and phi tested in that frame.
+    None => full spheres, and the clip code is statically absent."""
 
     center: jnp.ndarray
     radius: jnp.ndarray
+    rot: object = None       # (S,3,3) or None
+    zmin: object = None      # (S,)
+    zmax: object = None
+    phimax: object = None
 
 
 def intersect_spheres_dense(o, d, t_max, spheres: SphereSoA):
@@ -231,8 +236,31 @@ def intersect_spheres_dense(o, d, t_max, spheres: SphereSoA):
     tn = jnp.minimum(t0, t1)
     tf = jnp.maximum(t0, t1)
     eps = 1e-3  # min-t epsilon in units of scene scale; callers offset origins
-    t = jnp.where(tn > eps, tn, tf)
-    ok &= (t > eps) & (t < t_max[:, None])
+    if spheres.rot is not None:
+        # partial spheres: each quadratic root must also pass the z/phi
+        # window; take the nearest PASSING root (sphere.cu:75-101 retry)
+        def passes(t):
+            p = o[:, None, :] + t[..., None] * dd
+            rel = p - spheres.center[None, :, :]
+            # local = R^T rel (rot maps object->world)
+            local = jnp.einsum("sji,rsj->rsi", spheres.rot, rel)
+            z = local[..., 2]
+            phi = jnp.arctan2(local[..., 1], local[..., 0])
+            phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+            zeps = 1e-4 * spheres.radius[None, :]
+            return (
+                (z >= spheres.zmin[None, :] - zeps)
+                & (z <= spheres.zmax[None, :] + zeps)
+                & (phi <= spheres.phimax[None, :])
+            )
+        ok_n = (tn > eps) & passes(tn)
+        ok_f = (tf > eps) & passes(tf)
+        t = jnp.where(ok_n, tn, tf)
+        ok &= jnp.where(ok_n, True, ok_f)
+        ok &= (t > eps) & (t < t_max[:, None])
+    else:
+        t = jnp.where(tn > eps, tn, tf)
+        ok &= (t > eps) & (t < t_max[:, None])
     t = jnp.where(ok, t, INFINITY)
     best = jnp.argmin(t, axis=-1)
     r = jnp.arange(o.shape[0])
@@ -259,13 +287,16 @@ def intersect_spheres_dense(o, d, t_max, spheres: SphereSoA):
 
 class DiskSoA(NamedTuple):
     """Disks as (center, unit normal, radius, inner_radius) in render space
-    (reference shapes/disk.{h,cu}; phimax=360 assumed — partial disks are
-    rejected by the scene builder)."""
+    (reference shapes/disk.{h,cu}). Optional in-plane frame enables
+    phimax < 360 (partial disks); None => full disks, clip code absent."""
 
     center: jnp.ndarray   # (D,3)
     normal: jnp.ndarray   # (D,3)
     radius: jnp.ndarray   # (D,)
     inner: jnp.ndarray    # (D,)
+    xaxis: object = None  # (D,3)
+    yaxis: object = None
+    phimax: object = None # (D,)
 
 
 def intersect_disks_dense(o, d, t_max, disks: DiskSoA):
@@ -286,6 +317,14 @@ def intersect_disks_dense(o, d, t_max, disks: DiskSoA):
         & (r2 <= (disks.radius**2)[None, :])
         & (r2 >= (disks.inner**2)[None, :])
     )
+    if disks.xaxis is not None:
+        rel = p - disks.center[None]
+        phi = jnp.arctan2(
+            jnp.sum(rel * disks.yaxis[None], -1),
+            jnp.sum(rel * disks.xaxis[None], -1),
+        )
+        phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+        ok &= phi <= disks.phimax[None, :]
     t = jnp.where(ok, t, INFINITY)
     best = jnp.argmin(t, axis=-1)
     rr = jnp.arange(o.shape[0])

@@ -614,30 +614,60 @@ class SceneBuilder:
             self._append_tris(Pw, c["idx"], Nw, c["UV"], c["mat"],
                               c["rev"] ^ swap, c["med"])
         for s in d["spheres"]:
-            sc = np.linalg.det(M) ** (1.0 / 3.0)
-            if not np.allclose(M, np.eye(3) * sc, atol=1e-6 * max(1.0, abs(sc))):
+            sc = abs(np.linalg.det(M)) ** (1.0 / 3.0)
+            rot_i = M / max(sc, 1e-30)
+            if not np.allclose(rot_i @ rot_i.T, np.eye(3), atol=1e-4):
                 raise ValueError("sphere instances support uniform scaling only")
-            self.spheres.append(dict(s, center=np.asarray(s["center"]) @ M.T + t,
-                                     radius=s["radius"] * abs(sc)))
+            self.spheres.append(dict(
+                s, center=np.asarray(s["center"]) @ M.T + t,
+                radius=s["radius"] * sc, rot=rot_i @ s["rot"],
+                zmin=s["zmin"] * sc, zmax=s["zmax"] * sc,
+            ))
         for dk in d["disks"]:
-            sc = np.linalg.det(M) ** (1.0 / 3.0)
+            sc = abs(np.linalg.det(M)) ** (1.0 / 3.0)
             n2 = dk["normal"] @ inv[:3, :3]
             n2 = n2 / max(np.linalg.norm(n2), 1e-30)
+            xax = M @ dk["xaxis"]
+            xax = xax / max(np.linalg.norm(xax), 1e-30)
             self.disks.append(dict(dk, center=np.asarray(dk["center"]) @ M.T + t,
-                                   normal=n2, radius=dk["radius"] * abs(sc),
-                                   inner=dk["inner"] * abs(sc)))
+                                   normal=n2, radius=dk["radius"] * sc,
+                                   inner=dk["inner"] * sc,
+                                   xaxis=xax, yaxis=np.cross(n2, xax)))
 
     def add_sphere(self, pd: ParameterDict):
+        """reference shapes/sphere.cu:13-26: radius + optional zmin/zmax
+        clipping and phimax (partial spheres)."""
         radius = pd.get_float("radius", 1.0)
         ctm = self.state.ctm
         center = ctm[:3, 3].copy()
-        # uniform scale support: radius scales with cbrt(det)
+        # rotation + uniform scale support: radius scales with cbrt(det);
+        # the rotation part becomes the object frame for z/phi clipping
         det = np.linalg.det(ctm[:3, :3])
         s = abs(det) ** (1.0 / 3.0)
-        if not np.allclose(ctm[:3, :3], np.eye(3) * s, atol=1e-6 * max(1.0, s)):
+        rot = ctm[:3, :3] / max(s, 1e-30)
+        if not np.allclose(rot @ rot.T, np.eye(3), atol=1e-4):
             raise NotImplementedError(
-                "sphere with non-uniform-scale/rotation transform not supported yet"
+                "sphere with non-uniform-scale transform not supported yet"
             )
+        z_min = max(min(pd.get_float("zmin", -radius), radius), -radius)
+        z_max = min(max(pd.get_float("zmax", radius), -radius), radius)
+        if z_min > z_max:
+            z_min, z_max = z_max, z_min
+        phi_max = np.deg2rad(np.clip(pd.get_float("phimax", 360.0), 0.0, 360.0))
+        partial = (
+            z_min > -radius + 1e-6 * radius
+            or z_max < radius - 1e-6 * radius
+            or phi_max < 2.0 * np.pi - 1e-6
+        )
+        if partial and self.state.area_light is not None:
+            raise NotImplementedError("partial spheres as area lights not supported")
+        extra = dict(
+            rot=rot.astype(np.float64),
+            zmin=z_min * s,
+            zmax=z_max * s,
+            phimax=float(phi_max),
+            partial=partial,
+        )
         li = -1
         if self.active_object is not None:
             if self.state.area_light is not None:
@@ -652,6 +682,7 @@ class SceneBuilder:
                     light=-1,
                     rev=self.state.reverse_orientation ^ _swaps_handedness(ctm),
                     med=(self.state.inside_medium, self.state.outside_medium),
+                    **extra,
                 )
             )
             return
@@ -675,14 +706,15 @@ class SceneBuilder:
                 light=li,
                 rev=self.state.reverse_orientation ^ _swaps_handedness(ctm),
                 med=(self.state.inside_medium, self.state.outside_medium),
+                **extra,
             )
         )
 
     def add_disk(self, pd: ParameterDict):
-        """reference shapes/disk.cu: z=height plane annulus in object space;
-        phimax must be 360 (partial disks unsupported)."""
-        if pd.get_float("phimax", 360.0) != 360.0:
-            raise NotImplementedError("partial disks (phimax < 360) not supported")
+        """reference shapes/disk.cu: z=height plane annulus in object space
+        with optional phimax < 360 (partial disks clip on the in-plane
+        angle from the object x axis)."""
+        phi_max = np.deg2rad(np.clip(pd.get_float("phimax", 360.0), 0.0, 360.0))
         ctm = self.state.ctm
         height = pd.get_float("height", 0.0)
         radius = pd.get_float("radius", 1.0)
@@ -691,6 +723,13 @@ class SceneBuilder:
         sc = abs(det) ** (1.0 / 3.0)
         n = ctm[:3, :3] @ np.array([0.0, 0.0, 1.0])
         n = n / max(np.linalg.norm(n), 1e-12)
+        xax = ctm[:3, :3] @ np.array([1.0, 0.0, 0.0])
+        xax = xax / max(np.linalg.norm(xax), 1e-12)
+        yax = np.cross(n, xax)
+        partial = phi_max < 2.0 * np.pi - 1e-6
+        if partial and self.state.area_light is not None:
+            raise NotImplementedError("partial disks as area lights not supported")
+        dkextra = dict(xaxis=xax, yaxis=yax, phimax=float(phi_max), partial=partial)
         center = ctm[:3, 3] + n * height * sc
         rev = self.state.reverse_orientation ^ _swaps_handedness(ctm)
         if rev:
@@ -710,6 +749,7 @@ class SceneBuilder:
                     mat=self.state.material_idx,
                     light=-1,
                     med=(self.state.inside_medium, self.state.outside_medium),
+                    **dkextra,
                 )
             )
             return
@@ -734,6 +774,7 @@ class SceneBuilder:
                 mat=self.state.material_idx,
                 light=li,
                 med=(self.state.inside_medium, self.state.outside_medium),
+                **dkextra,
             )
         )
 

@@ -50,6 +50,11 @@ class SceneArrays(NamedTuple):
     sph_radius: jnp.ndarray
     sph_mat: jnp.ndarray
     sph_light: jnp.ndarray
+    sph_rot: jnp.ndarray         # (S,3,3) object-frame rotation (uv + clip)
+    sph_zmin: jnp.ndarray        # (S,)
+    sph_zmax: jnp.ndarray
+    sph_phimax: jnp.ndarray      # (S,) radians
+    sph_partial_marker: jnp.ndarray  # (0 or 1,) static clip-code switch
     # disks
     dsk_center: jnp.ndarray      # (D,3)
     dsk_normal: jnp.ndarray      # (D,3)
@@ -58,6 +63,10 @@ class SceneArrays(NamedTuple):
     dsk_mat: jnp.ndarray         # (D,) i32
     dsk_light: jnp.ndarray       # (D,) i32
     dsk_med: jnp.ndarray         # (D,2) i32
+    dsk_xaxis: jnp.ndarray       # (D,3) in-plane frame for phi clipping
+    dsk_yaxis: jnp.ndarray
+    dsk_phimax: jnp.ndarray      # (D,) radians
+    dsk_partial_marker: jnp.ndarray  # (0 or 1,)
     # materials
     mat_type: jnp.ndarray        # (M,) i32
     mat_refl_c: jnp.ndarray      # (M,3) sigmoid coeffs of reflectance/albedo
@@ -269,6 +278,14 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
     sph_radius = np.array([s["radius"] for s in b.spheres]) if S else np.zeros((0,))
     sph_mat = np.array([s["mat"] for s in b.spheres], np.int32) if S else np.zeros((0,), np.int32)
     sph_light = np.array([s["light"] for s in b.spheres], np.int32) if S else np.zeros((0,), np.int32)
+    # partial-sphere clipping (reference shapes/sphere.cu:15-26): object
+    # frame rotation + z window + phi_max; any_partial gates the clip code
+    sph_rot = (np.stack([s.get("rot", np.eye(3)) for s in b.spheres])
+               if S else np.zeros((0, 3, 3)))
+    sph_zmin = np.array([s.get("zmin", -s["radius"]) for s in b.spheres], f32) if S else np.zeros((0,), f32)
+    sph_zmax = np.array([s.get("zmax", s["radius"]) for s in b.spheres], f32) if S else np.zeros((0,), f32)
+    sph_phimax = np.array([s.get("phimax", 2 * np.pi) for s in b.spheres], f32) if S else np.zeros((0,), f32)
+    any_partial_sph = any(s.get("partial", False) for s in b.spheres)
 
     # ---- materials
     M = len(b.materials)
@@ -324,6 +341,9 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         dsk_mat = np.array([dk["mat"] for dk in b.disks], np.int32)
         dsk_light = np.array([dk["light"] for dk in b.disks], np.int32)
         dsk_med = np.array([dk.get("med", (-1, -1)) for dk in b.disks], np.int32)
+        dsk_xaxis = np.stack([dk.get("xaxis", np.array([1.0, 0, 0])) for dk in b.disks])
+        dsk_yaxis = np.stack([dk.get("yaxis", np.array([0.0, 1, 0])) for dk in b.disks])
+        dsk_phimax = np.array([dk.get("phimax", 2 * np.pi) for dk in b.disks], f32)
     else:
         dsk_center = np.zeros((0, 3))
         dsk_normal = np.zeros((0, 3))
@@ -332,6 +352,9 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         dsk_mat = np.zeros((0,), np.int32)
         dsk_light = np.zeros((0,), np.int32)
         dsk_med = np.zeros((0, 2), np.int32)
+        dsk_xaxis = np.zeros((0, 3))
+        dsk_yaxis = np.zeros((0, 3))
+        dsk_phimax = np.zeros((0,), f32)
 
     # ---- media
     NM = len(b.media)
@@ -484,6 +507,11 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         sph_radius=jnp.asarray(sph_radius, jnp.float32),
         sph_mat=jnp.asarray(sph_mat),
         sph_light=jnp.asarray(sph_light),
+        sph_rot=jnp.asarray(sph_rot, jnp.float32),
+        sph_zmin=jnp.asarray(sph_zmin),
+        sph_zmax=jnp.asarray(sph_zmax),
+        sph_phimax=jnp.asarray(sph_phimax),
+        sph_partial_marker=jnp.zeros((1 if any_partial_sph else 0,), jnp.float32),
         dsk_center=jnp.asarray(dsk_center, jnp.float32),
         dsk_normal=jnp.asarray(dsk_normal, jnp.float32),
         dsk_radius=jnp.asarray(dsk_radius),
@@ -491,6 +519,13 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         dsk_mat=jnp.asarray(dsk_mat),
         dsk_light=jnp.asarray(dsk_light),
         dsk_med=jnp.asarray(dsk_med),
+        dsk_xaxis=jnp.asarray(dsk_xaxis, jnp.float32),
+        dsk_yaxis=jnp.asarray(dsk_yaxis, jnp.float32),
+        dsk_phimax=jnp.asarray(dsk_phimax),
+        dsk_partial_marker=jnp.zeros(
+            (1 if any(dk.get("partial", False) for dk in b.disks) else 0,),
+            jnp.float32,
+        ),
         mat_type=jnp.asarray(mat_type),
         mat_refl_c=jnp.asarray(mat_refl_c, jnp.float32),
         mat_trans_c=jnp.asarray(mat_trans_c, jnp.float32),

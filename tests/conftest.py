@@ -19,6 +19,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the suite is compile-dominated (VERDICT r1
+# item 9) — repeat runs hit the on-disk cache instead of re-lowering
+from pbrt_tpu.utils.jaxcfg import enable_compile_cache
+
+enable_compile_cache(os.path.expanduser("~/.cache/pbrt_tpu_jax_tests"))
+
 import numpy as np
 import pytest
 
