@@ -306,12 +306,14 @@ def _traverse(rows, leaf_k, o, d, t_max, any_hit=False):
 
     body = make_body(o, d, inv_d)
 
-    # ---- stage 1: full width, capped near the p90 visit count. Masked-dense
-    # execution is gated by the WORST lane (a silhouette-grazing ray visits
-    # O(sqrt(T)) leaf cells; measured p50 ~26, p90 ~35, max ~800 on
-    # cornell-mesh) — running the tail at full width would cost 10-100x the
-    # useful work, so the stragglers are COMPACTED into a narrow buffer.
-    cap1 = jnp.int32(6 * depth + 16)
+    # ---- staged traversal. Masked-dense execution is gated by the WORST
+    # lane (a silhouette-grazing ray visits O(sqrt(T)) leaf cells; measured
+    # live-lane decay on cornell-mesh at 16k rays: 16k -> 2.4k @32 iters ->
+    # 770 @48 -> 546 @96 -> 144 @256 -> ~0 @ a few thousand). Each stage
+    # compacts the survivors into a buffer 8x narrower, so tail iterations
+    # run at a fraction of the width; a final chunked DENSE sweep of the
+    # soup finishes the extreme tail exactly.
+    cap1 = jnp.int32(4 * depth)
     st = jax.lax.while_loop(make_cond(cap1), body, st)
 
     def compact(st, R_T):
@@ -337,55 +339,68 @@ def _traverse(rows, leaf_k, o, d, t_max, any_hit=False):
             it=jnp.int32(0),
         )
 
-    # ---- stage 2: the stragglers (typically <5%) continue in an R/8 buffer
-    R_T = R // 8
-    if R_T >= 64:
-        sel, sub = compact(st, R_T)
-        body_sub = make_body(o[sel], d[sel], inv_d[sel])
-        cap2 = jnp.int32(20 * depth)
-        sub = jax.lax.while_loop(make_cond(cap2), body_sub, sub)
+    def dense_finish(sub, o2, d2):
+        """Chunked dense sweep of the WHOLE padded soup for the extreme tail
+        — exactly correct (dense == ground truth) and cheap at few lanes."""
+        soup = rows[n_int:, : K * 9].reshape(P * K, 9)
+        TB = min(4096, P * K)  # triangles per dense block
 
-        # ---- stage 3: the EXTREME tail (silhouette-grazing rays visit
-        # O(sqrt(T)) leaf cells — thousands of iterations that would gate
-        # everyone). A few hundred lanes brute-forced densely over the
-        # whole padded soup is cheap VPU work and exactly correct.
-        R_D = max(256, R // 512)
-        if R_D < R_T:
-            sel2, sub2 = compact(sub, R_D)
-            o2, d2 = o[sel][sel2], d[sel][sel2]
-            soup = rows[n_int:, : K * 9].reshape(P * K, 9)
-            TB = 4096  # triangles per dense block
-
-            def dense_blk(i, carry):
-                t_best, prim = carry
-                blk = jax.lax.dynamic_slice(soup, (i * TB, 0), (TB, 9))
-                t_b, _, hit_b = ix.intersect_tri_block(
-                    o2, d2, t_best, blk[:, 0:3], blk[:, 3:6], blk[:, 6:9]
-                )
-                t_b = jnp.where(hit_b, t_b, jnp.inf)
-                best = jnp.argmin(t_b, axis=-1)
-                rr = jnp.arange(o2.shape[0])
-                tb_best = t_b[rr, best]
-                better = tb_best < t_best
-                t_best = jnp.where(better, tb_best, t_best)
-                prim = jnp.where(better, (i * TB + best).astype(jnp.int32), prim)
-                return t_best, prim
-
-            n_blk = -(-(P * K) // TB)
-            live2 = sub2.cur != _DONE
-            t3, p3 = jax.lax.fori_loop(
-                0, n_blk, dense_blk, (sub2.t_best, sub2.prim)
+        def dense_blk(i, carry):
+            t_best, prim = carry
+            blk = jax.lax.dynamic_slice(soup, (i * TB, 0), (TB, 9))
+            t_b, _, hit_b = ix.intersect_tri_block(
+                o2, d2, t_best, blk[:, 0:3], blk[:, 3:6], blk[:, 6:9]
             )
-            if any_hit:
-                # a dense pass finds the closest hit, which answers any-hit too
-                pass
-            sub2 = sub2._replace(
-                t_best=jnp.where(live2, t3, sub2.t_best),
-                prim=jnp.where(live2, p3, sub2.prim),
-                cur=jnp.where(live2, _DONE, sub2.cur),
-            )
-            sub = scatter(sub, sel2, sub2)
-        st = scatter(st, sel, sub)
+            t_b = jnp.where(hit_b, t_b, jnp.inf)
+            best = jnp.argmin(t_b, axis=-1)
+            rr = jnp.arange(o2.shape[0])
+            tb_best = t_b[rr, best]
+            better = tb_best < t_best
+            t_best = jnp.where(better, tb_best, t_best)
+            prim = jnp.where(better, (i * TB + best).astype(jnp.int32), prim)
+            return t_best, prim
+
+        n_blk = -(-(P * K) // TB)
+        live2 = sub.cur != _DONE
+        t3, p3 = jax.lax.fori_loop(0, n_blk, dense_blk, (sub.t_best, sub.prim))
+        return sub._replace(
+            t_best=jnp.where(live2, t3, sub.t_best),
+            prim=jnp.where(live2, p3, sub.prim),
+            cur=jnp.where(live2, _DONE, sub.cur),
+        )
+
+    # ---- compaction ladder: survivors continue in geometrically narrower
+    # buffers. A rung whose buffer holds no unfinished lanes exits its
+    # while_loop after ZERO iterations, so generous rungs cost only the
+    # (R,)-key argsort. Caps scale with tree depth; the final rung is an
+    # exact chunked DENSE sweep sized so its tri-test budget stays ~3e8
+    # regardless of scene size.
+    ladder = [(2, 8), (8, 16), (32, 32), (128, 64)]
+    o_c, d_c, inv_c, cur_sel = o, d, inv_d, None
+    frames = []  # (sel, outer_state) to scatter back through
+    sub = st
+    for divisor, capmul in ladder:
+        R_T = R // divisor
+        if R_T < 64 or R_T >= sub.cur.shape[0]:
+            continue
+        sel, nxt = compact(sub, R_T)
+        frames.append((sel, sub))
+        o_c, d_c, inv_c = o_c[sel], d_c[sel], inv_c[sel]
+        body_c = make_body(o_c, d_c, inv_c)
+        sub = jax.lax.while_loop(
+            make_cond(jnp.int32(capmul * depth)), body_c, nxt
+        )
+    # exact dense finish for whatever remains, budgeted by scene size
+    X = max(128, min(sub.cur.shape[0], int(3e8 // max(P * K, 1))))
+    if X < sub.cur.shape[0]:
+        sel, nxt = compact(sub, X)
+        frames.append((sel, sub))
+        o_c, d_c = o_c[sel], d_c[sel]
+        sub = nxt
+    sub = dense_finish(sub, o_c, d_c)
+    for sel, outer in reversed(frames):
+        sub = scatter(outer, sel, sub)
+    st = sub
 
     # ---- safety net: if a compaction buffer overflowed this completes the
     # overflow at full width; otherwise it runs ZERO iterations (the cond is

@@ -73,17 +73,22 @@ def add_splats(film: Film, pixel_idx, L, lam, pdf, weight):
     return film._replace(splat=film.splat.at[pixel_idx].add(weight[..., None] * rgb))
 
 
-def develop(film: Film, resolution, splat_scale=0.0):
+def develop(film: Film, resolution, splat_scale=0.0, out_matrix=None,
+            imaging_ratio=1.0):
     """-> (H, W, 3) linear output-RGB (reference rgb_film.cu:108-122 +
-    output_rgb_from_sensor_rgb matrix)."""
+    output_rgb_from_sensor_rgb matrix). out_matrix defaults to plain sRGB
+    rgb_from_xyz; pass SceneMeta.film_out_matrix for the PixelSensor's
+    white-balanced matrix; imaging_ratio scales the sensor response
+    (exposure * iso / 100, pixel_sensor.h to_sensor_rgb)."""
     w, h = resolution
     # divide by weight_sum when nonzero (rgb_film.cu:114-116); weights can be
     # negative under mitchell, so guard magnitude, keep sign
     ws = film.weight_sum[:, None]
     safe = jnp.where(jnp.abs(ws) > 1e-8, ws, 1.0)
     rgb = jnp.where(jnp.abs(ws) > 1e-8, film.rgb_sum / safe, film.rgb_sum)
-    rgb = rgb + splat_scale * film.splat
-    out = colorspace.apply_matrix(colorspace.srgb().rgb_from_xyz, rgb)
+    rgb = (rgb + splat_scale * film.splat) * imaging_ratio
+    m = colorspace.srgb().rgb_from_xyz if out_matrix is None else jnp.asarray(out_matrix)
+    out = colorspace.apply_matrix(m, rgb)
     return out.reshape(h, w, 3)
 
 

@@ -202,7 +202,7 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps, mode_radia
         found = active & hit.valid & (hit.mat >= 0)
 
         mat_r = materials.resolve_mix(scene, hit.mat, hit.p, hit.wo)
-        b_full, _ = materials.make_bsdf(scene, mat_r, hit.ns, wl, hit.uv)
+        b_full, _ = materials.make_bsdf(scene, mat_r, hit.ns, wl, hit.uv, hit.p)
 
         w_in, dist2 = _dir_to(prev_p, hit.p)
         cosv = vm.absdot(hit.ng, w_in)

@@ -103,10 +103,11 @@ def eval_x(scene, x, *, max_depth, res_x, res_y, env_ids=(), volumetric=False):
 
 
 @jax.jit
-def _accept_and_splat(splat, x_cur, x_prop, rgb_cur, rgb_prop, y_cur, y_prop,
+def _accept_and_splat(splat, heat, x_cur, x_prop, rgb_cur, rgb_prop, y_cur, y_prop,
                       pix_cur, pix_prop, u_accept):
     """Metropolis accept/reject + expected-value splats of both states
-    (mlt_path.cu:90-151)."""
+    (mlt_path.cu:90-151) + sampling-density heatmap (GreyScaleFilm,
+    film/grey_scale_film.h:7-24; fed per splat like mlt_path.cu:267-285)."""
     a = jnp.where(y_cur > 0, jnp.minimum(1.0, y_prop / jnp.maximum(y_cur, 1e-12)), 1.0)
     w_prop = a / jnp.maximum(y_prop, 1e-12)
     w_cur = (1.0 - a) / jnp.maximum(y_cur, 1e-12)
@@ -116,12 +117,14 @@ def _accept_and_splat(splat, x_cur, x_prop, rgb_cur, rgb_prop, y_cur, y_prop,
     splat = splat.at[pix_cur].add(
         jnp.where((y_cur > 0)[:, None], rgb_cur * w_cur[:, None], 0.0)
     )
+    heat = heat.at[pix_prop].add(jnp.where(y_prop > 0, a, 0.0))
+    heat = heat.at[pix_cur].add(jnp.where(y_cur > 0, 1.0 - a, 0.0))
     accept = u_accept < a
     x_new = jnp.where(accept[:, None], x_prop, x_cur)
     rgb_new = jnp.where(accept[:, None], rgb_prop, rgb_cur)
     y_new = jnp.where(accept, y_prop, y_cur)
     pix_new = jnp.where(accept, pix_prop, pix_cur)
-    return splat, x_new, rgb_new, y_new, pix_new, a
+    return splat, heat, x_new, rgb_new, y_new, pix_new, a
 
 
 def eval_x_bdpt(scene, x, *, max_depth, res_x, res_y, env_ids=(), volumetric=False):
@@ -159,7 +162,7 @@ def eval_x_bdpt(scene, x, *, max_depth, res_x, res_y, env_ids=(), volumetric=Fal
 
 
 @jax.jit
-def _accept_and_splat_multi(splat, x_cur, x_prop, pix_cur, pix_prop,
+def _accept_and_splat_multi(splat, heat, x_cur, x_prop, pix_cur, pix_prop,
                             rgb_cur, rgb_prop, y_cur, y_prop, u_accept):
     """Metropolis accept/reject with expected-value splatting of every
     contribution of both states (multi-contribution PSS-MLT)."""
@@ -172,16 +175,18 @@ def _accept_and_splat_multi(splat, x_cur, x_prop, pix_cur, pix_prop,
     splat = splat.at[pix_cur.reshape(-1)].add(
         (rgb_cur * w_cur[None, :, None]).reshape(-1, 3)
     )
+    heat = heat.at[pix_prop[0]].add(jnp.where(y_prop > 0, a, 0.0))
+    heat = heat.at[pix_cur[0]].add(jnp.where(y_cur > 0, 1.0 - a, 0.0))
     accept = u_accept < a
     x_new = jnp.where(accept[:, None], x_prop, x_cur)
     pix_new = jnp.where(accept[None, :], pix_prop, pix_cur)
     rgb_new = jnp.where(accept[None, :, None], rgb_prop, rgb_cur)
     y_new = jnp.where(accept, y_prop, y_cur)
-    return splat, x_new, pix_new, rgb_new, y_new, a
+    return splat, heat, x_new, pix_new, rgb_new, y_new, a
 
 
 def render_mlt_bdpt(scene, meta, n_chains=N_CHAINS, n_bootstrap=None, seed=0,
-                    verbose=False):
+                    verbose=False, return_heatmap=False):
     """MLT over BDPT ("mlt"/"mltbdpt"; reference mlt_bdpt.cu:251-447).
     Returns (H, W, 3) linear RGB."""
     res_x, res_y = meta.resolution
@@ -219,13 +224,14 @@ def render_mlt_bdpt(scene, meta, n_chains=N_CHAINS, n_bootstrap=None, seed=0,
     total_mutations = meta.mutations_per_pixel * n_pixels
     n_passes = max(1, total_mutations // n_chains)
     splat = jnp.zeros((n_pixels, 3))
+    heat = jnp.zeros((n_pixels,))
     for i in range(n_passes):
         key, k1, k2 = jax.random.split(key, 3)
         x_prop = mutate(x_cur, k1)
         pix_prop, rgb_prop, y_prop = eval_x_bdpt(scene, x_prop, **kw)
         u_acc = jax.random.uniform(k2, (n_chains,))
-        splat, x_cur, pix_cur, rgb_cur, y_cur, a = _accept_and_splat_multi(
-            splat, x_cur, x_prop, pix_cur, pix_prop, rgb_cur, rgb_prop,
+        splat, heat, x_cur, pix_cur, rgb_cur, y_cur, a = _accept_and_splat_multi(
+            splat, heat, x_cur, x_prop, pix_cur, pix_prop, rgb_cur, rgb_prop,
             y_cur, y_prop, u_acc,
         )
         if verbose and (i % 16 == 0):
@@ -237,14 +243,20 @@ def render_mlt_bdpt(scene, meta, n_chains=N_CHAINS, n_bootstrap=None, seed=0,
     from pbrt_tpu.spectral import colorspace
 
     out = colorspace.apply_matrix(colorspace.srgb().rgb_from_xyz, img)
-    return out.reshape(res_y, res_x, 3)
+    out = out.reshape(res_y, res_x, 3)
+    if return_heatmap:
+        return out, heat.reshape(res_y, res_x)
+    return out
 
 
 def render_mlt(scene, meta, n_chains=N_CHAINS, n_bootstrap=None, seed=0,
-               verbose=False):
-    """Full PSS-MLT render (mlt_path.cu:198-296). Returns (H, W, 3) RGB."""
+               verbose=False, return_heatmap=False):
+    """Full PSS-MLT render (mlt_path.cu:198-296). Returns (H, W, 3) RGB, or
+    (rgb, heatmap (H, W)) when return_heatmap (the GreyScaleFilm
+    sampling-density output the reference writes alongside MLT renders)."""
     if meta.integrator in ("mlt", "mltbdpt"):
-        return render_mlt_bdpt(scene, meta, n_chains, n_bootstrap, seed, verbose)
+        return render_mlt_bdpt(scene, meta, n_chains, n_bootstrap, seed, verbose,
+                               return_heatmap=return_heatmap)
     res_x, res_y = meta.resolution
     n_pixels = res_x * res_y
     D = 16 + 10 * meta.max_depth
@@ -284,14 +296,15 @@ def render_mlt(scene, meta, n_chains=N_CHAINS, n_bootstrap=None, seed=0,
     total_mutations = meta.mutations_per_pixel * n_pixels
     n_passes = max(1, total_mutations // n_chains)
     splat = jnp.zeros((n_pixels, 3))
+    heat = jnp.zeros((n_pixels,))
     acc_sum = 0.0
     for i in range(n_passes):
         key, k1, k2 = jax.random.split(key, 3)
         x_prop = mutate(x_cur, k1)
         rgb_prop, y_prop, pix_prop = eval_x(scene, x_prop, **kw)
         u_acc = jax.random.uniform(k2, (n_chains,))
-        splat, x_cur, rgb_cur, y_cur, pix_cur, a = _accept_and_splat(
-            splat, x_cur, x_prop, rgb_cur, rgb_prop, y_cur, y_prop,
+        splat, heat, x_cur, rgb_cur, y_cur, pix_cur, a = _accept_and_splat(
+            splat, heat, x_cur, x_prop, rgb_cur, rgb_prop, y_cur, y_prop,
             pix_cur, pix_prop, u_acc,
         )
         if verbose and (i % 16 == 0):

@@ -301,7 +301,7 @@ def bounce_step(scene, state: PathState, regularize=False, skind="independent", 
     shade = active & ~med_scatter & (hit.mat >= 0)
 
     mat_resolved = materials.resolve_mix(scene, hit.mat, hit.p, hit.wo)
-    bsdf, wl2 = materials.make_bsdf(scene, mat_resolved, hit.ns, wl, hit.uv)
+    bsdf, wl2 = materials.make_bsdf(scene, mat_resolved, hit.ns, wl, hit.uv, hit.p)
     if regularize:
         ax, ay = sc.tr_regularize(bsdf.params.ax, bsdf.params.ay)
         bsdf = bsdf._replace(params=bsdf.params._replace(ax=ax, ay=ay))

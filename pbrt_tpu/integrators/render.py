@@ -205,7 +205,11 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False):
             spp=meta.spp, filter_kind=meta.filter_kind,
             env_ids=meta.env_light_ids, volumetric=meta.volumetric,
         )
-        return filmlib.develop(film, meta.resolution)
+        return filmlib.develop(
+            film, meta.resolution,
+            out_matrix=meta.film_out_matrix,
+            imaging_ratio=meta.film_imaging_ratio,
+        )
 
     n_tiles = max(1, -(-n_pixels // tile_rays))
     tile = -(-n_pixels // n_tiles)
@@ -239,7 +243,11 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False):
             film.rgb_sum.block_until_ready()
             print(f"sample {s + 1}/{meta.spp}")
     splat_scale = 1.0 / meta.spp if meta.integrator in ("bdpt",) else 0.0
-    return filmlib.develop(film, meta.resolution, splat_scale=splat_scale)
+    return filmlib.develop(
+        film, meta.resolution, splat_scale=splat_scale,
+        out_matrix=meta.film_out_matrix,
+        imaging_ratio=meta.film_imaging_ratio,
+    )
 
 
 def render_to_png(scene, meta, out_path=None, **kw):

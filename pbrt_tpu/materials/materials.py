@@ -47,7 +47,7 @@ def resolve_mix(scene, mat_idx, p, wo):
     return jnp.where(is_mix & (mat_idx >= 0), chosen, mat_idx)
 
 
-def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths, uv=None):
+def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths, uv=None, p=None):
     """Gather material mat_idx (R,) and build lane BxdfParams + shading frame
     around ns. Returns (Bsdf, new_wavelengths) — dielectric dispersion may
     terminate secondary wavelengths (reference dielectric_material.cu:40-47).
@@ -82,12 +82,12 @@ def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths, uv=None):
         tt = take_rows(scene.mat_trans_tex, mat_idx_c)
         ut = take_rows(scene.mat_urough_tex, mat_idx_c)
         vt = take_rows(scene.mat_vrough_tex, mat_idx_c)
-        refl_t = jnp.clip(texlib.eval_spectrum(scene.tex, rt, uv, ns, wl.lam), 0.0, 1.0)
-        trans_t = jnp.clip(texlib.eval_spectrum(scene.tex, tt, uv, ns, wl.lam), 0.0, 1.0)
+        refl_t = jnp.clip(texlib.eval_spectrum(scene.tex, rt, uv, ns, wl.lam, p), 0.0, 1.0)
+        trans_t = jnp.clip(texlib.eval_spectrum(scene.tex, tt, uv, ns, wl.lam, p), 0.0, 1.0)
         refl = jnp.where((rt >= 0)[..., None], refl_t, refl)
         trans = jnp.where((tt >= 0)[..., None], trans_t, trans)
-        urough = jnp.where(ut >= 0, texlib.eval_float(scene.tex, ut, uv), urough)
-        vrough = jnp.where(vt >= 0, texlib.eval_float(scene.tex, vt, uv), vrough)
+        urough = jnp.where(ut >= 0, texlib.eval_float(scene.tex, ut, uv, p=p), urough)
+        vrough = jnp.where(vt >= 0, texlib.eval_float(scene.tex, vt, uv, p=p), vrough)
 
     ax = jnp.maximum(jnp.where(remap, sc.roughness_to_alpha(urough), urough), 1e-4)
     ay = jnp.maximum(jnp.where(remap, sc.roughness_to_alpha(vrough), vrough), 1e-4)

@@ -289,9 +289,12 @@ class SceneBuilder:
                 table = other
             else:
                 raise ValueError(f"unknown texture {name!r}")
-        tclass, pd = table[name]
+        tclass, pd, tex_ctm = table[name]
         from pbrt_tpu.textures.textures import TexSpec
 
+        mapping = pd.get_string("mapping", "uv")
+        if mapping not in ("uv", "spherical", "cylindrical", "planar"):
+            raise ValueError(f"texture mapping {mapping!r} not supported")
         spec = TexSpec(
             kind=tclass,
             is_spectrum=is_spectrum,
@@ -299,6 +302,12 @@ class SceneBuilder:
             vscale=pd.get_float("vscale", 1.0),
             udelta=pd.get_float("udelta", 0.0),
             vdelta=pd.get_float("vdelta", 0.0),
+            mapping=mapping,
+            v1=np.asarray(pd.get_vector3("v1", np.array([1.0, 0.0, 0.0]))),
+            v2=np.asarray(pd.get_vector3("v2", np.array([0.0, 1.0, 0.0]))),
+            # world->texture transform captured at Texture declaration
+            # (reference texture_mapping_2d: points mapped to texture space)
+            tex_from_world=np.linalg.inv(tex_ctm),
         )
         if tclass == "constant":
             rgb = pd.get_rgb("value")
@@ -328,7 +337,7 @@ class SceneBuilder:
             spec.tex1 = self._child_tex(pd, "tex1", is_spectrum, default=0.0)
             spec.tex2 = self._child_tex(pd, "tex2", is_spectrum, default=1.0)
             d = pd.get_vector3("dir", np.array([0.0, 1.0, 0.0]))
-            spec.dir = self.state.ctm[:3, :3] @ np.asarray(d)
+            spec.dir = tex_ctm[:3, :3] @ np.asarray(d)
         else:
             raise ValueError(f"texture class {tclass!r} not supported")
         self.textures.append(spec)
@@ -881,6 +890,12 @@ class SceneBuilder:
                     "xresolution": pd.get_integer("xresolution", 1920),
                     "yresolution": pd.get_integer("yresolution", 1080),
                     "filename": pd.get_string("filename", "out.png"),
+                    # PixelSensor controls (reference film/pixel_sensor.h +
+                    # rgb_film.cu:27-37; the reference hardcodes the
+                    # defaults — we parse the pbrt-v4 film params)
+                    "iso": pd.get_float("iso", 100.0),
+                    "whitebalance": pd.get_float("whitebalance", 0.0),
+                    "exposuretime": pd.get_float("exposuretime", 1.0),
                 }
                 continue
             if kw == "Sampler":
@@ -994,9 +1009,9 @@ class SceneBuilder:
                 i += 3
                 pd, i = parse_parameters(tokens, i)
                 if ttype == "float":
-                    self.float_textures[tname] = (tclass, pd)
+                    self.float_textures[tname] = (tclass, pd, self.state.ctm.copy())
                 else:
-                    self.spectrum_textures[tname] = (tclass, pd)
+                    self.spectrum_textures[tname] = (tclass, pd, self.state.ctm.copy())
                 continue
 
             if kw == "MakeNamedMedium":

@@ -162,6 +162,10 @@ class SceneMeta:
     n_disks: int
     filter: dict
     filter_kind: str = "mitchell"
+    # PixelSensor (reference film/pixel_sensor.h): imaging ratio =
+    # exposure * iso / 100; out matrix = rgb_from_xyz @ white-balance
+    film_imaging_ratio: float = 1.0
+    film_out_matrix: object = None  # (3,3) np array or None (-> plain sRGB)
     mutations_per_pixel: int = 100
     env_light_ids: tuple = ()   # static indices of image-infinite lights
     volumetric: bool = False    # scene has media or material-less interfaces
@@ -323,7 +327,7 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
     mat_trans_tex = np.array([m.trans_tex for m in b.materials], np.int32)
     mat_urough_tex = np.array([m.urough_tex for m in b.materials], np.int32)
     mat_vrough_tex = np.array([m.vrough_tex for m in b.materials], np.int32)
-    tex_arrays = texlib.build_tex_arrays(b.textures, getattr(b, "_search_dir", "."))
+    tex_arrays = texlib.build_tex_arrays(b.textures, getattr(b, "_search_dir", "."), cam_pos=cam_pos)
 
     # ---- spectra table
     NS = max(1, len(b.spectra_rows))
@@ -472,6 +476,24 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
 
     filter_kind, filter_params, filt_tables = filterlib.build_filter(b.filter)
 
+    # ---- PixelSensor (reference rgb_film.cu:27-48): imaging ratio +
+    # white-balance adaptation from the CIE-D illuminant at the requested
+    # temperature to the output color space's white point
+    from pbrt_tpu.spectral import colorspace as cspace
+
+    iso = float(b.film.get("iso", 100.0))
+    exposure = float(b.film.get("exposuretime", 1.0))
+    wb_temp = float(b.film.get("whitebalance", 0.0))
+    imaging_ratio = exposure * iso / 100.0
+    out_space = cspace.srgb()
+    xyz_from_sensor = np.eye(3)
+    if wb_temp > 0.0:
+        d_illum = cie.cie_d(wb_temp)
+        src_xyz = cie.to_xyz(d_illum)
+        src_xy = src_xyz[:2] / max(src_xyz.sum(), 1e-12)
+        xyz_from_sensor = cspace.white_balance_matrix(src_xy, out_space.w)
+    film_out_matrix = np.asarray(out_space.rgb_from_xyz @ xyz_from_sensor, np.float32)
+
     # camera importance constants (reference perspective.cu:43-63): area of
     # the image rectangle projected to the z=1 plane + corner cosine
     corners_raster = np.array(
@@ -608,6 +630,8 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         n_lights=L,
         filter=filter_params,
         filter_kind=filter_kind,
+        film_imaging_ratio=imaging_ratio,
+        film_out_matrix=film_out_matrix,
         env_light_ids=tuple(
             i for i, l in enumerate(b.lights) if l.type == bd.LIGHT_IMAGE_INFINITE
         ),

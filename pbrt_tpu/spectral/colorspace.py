@@ -86,3 +86,31 @@ def srgb_decode(encoded):
         encoded / 12.92,
         jnp.power((encoded + 0.055) / 1.055, 2.4),
     )
+
+
+# chromatic adaptation (reference spectrum_util/color_encoding.h:94-125
+# white_balance: von Kries in the Bradford-style LMS basis)
+_LMS_FROM_XYZ = np.array([
+    [0.8951, 0.2664, -0.1614],
+    [-0.7502, 1.7135, 0.0367],
+    [0.0389, -0.0685, 1.0296],
+])
+_XYZ_FROM_LMS = np.array([
+    [0.986993, -0.147054, 0.159963],
+    [0.432305, 0.51836, 0.0492912],
+    [-0.00852866, 0.0400428, 0.968487],
+])
+
+
+def xyz_from_xyY(xy, Y=1.0):
+    x, y = float(xy[0]), float(xy[1])
+    if y == 0.0:
+        return np.zeros(3)
+    return np.array([x * Y / y, Y, (1.0 - x - y) * Y / y])
+
+
+def white_balance_matrix(src_white_xy, dst_white_xy):
+    """3x3 XYZ->XYZ matrix adapting src white to dst white."""
+    src = _LMS_FROM_XYZ @ xyz_from_xyY(src_white_xy)
+    dst = _LMS_FROM_XYZ @ xyz_from_xyY(dst_white_xy)
+    return _XYZ_FROM_LMS @ np.diag(dst / np.maximum(src, 1e-12)) @ _LMS_FROM_XYZ

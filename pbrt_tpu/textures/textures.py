@@ -58,11 +58,17 @@ class TexSpec:
     image_scale: float = 1.0
     invert: bool = False
     wrap: str = "repeat"
-    # mapping (uv)
+    # mapping (reference textures/texture_mapping_2d: uv/spherical/
+    # cylindrical/planar; non-uv mappings derive (u,v) from the hit position
+    # in texture space)
+    mapping: str = "uv"
     uscale: float = 1.0
     vscale: float = 1.0
     udelta: float = 0.0
     vdelta: float = 0.0
+    v1: np.ndarray = field(default_factory=lambda: np.array([1.0, 0.0, 0.0]))
+    v2: np.ndarray = field(default_factory=lambda: np.array([0.0, 1.0, 0.0]))
+    tex_from_world: np.ndarray = field(default_factory=lambda: np.eye(4))
     # combinators: children are indices into the same spec list (or -1)
     tex1: int = -1
     tex2: int = -1
@@ -93,12 +99,26 @@ class TexArrays(NamedTuple):
     amount: jnp.ndarray    # (NT,)
     amount_tex: jnp.ndarray  # (NT,) i32 float-texture node for amount
     uvmap: jnp.ndarray     # (NT,4) su, sv, du, dv
+    mapkind: jnp.ndarray   # (NT,) i32: 0 uv, 1 spherical, 2 cylindrical, 3 planar
+    tex_from_render: jnp.ndarray  # (NT,4,4) position -> texture space
+    map_v1: jnp.ndarray    # (NT,3) planar s axis
+    map_v2: jnp.ndarray    # (NT,3) planar t axis
     dir: jnp.ndarray       # (NT,3)
     imgs: ImageAtlas
 
 
-def build_tex_arrays(specs, scene_root):
-    """Host: list[TexSpec] -> TexArrays. Loads images, fits rgb coeffs."""
+MAP_UV = 0
+MAP_SPHERICAL = 1
+MAP_CYLINDRICAL = 2
+MAP_PLANAR = 3
+_MAP_NAMES = {"uv": MAP_UV, "spherical": MAP_SPHERICAL,
+              "cylindrical": MAP_CYLINDRICAL, "planar": MAP_PLANAR}
+
+
+def build_tex_arrays(specs, scene_root, cam_pos=None):
+    """Host: list[TexSpec] -> TexArrays. Loads images, fits rgb coeffs.
+    cam_pos: render-space origin in world coords (geometry is emitted in
+    camera-world space; the texture transform must map FROM that space)."""
     from pbrt_tpu.spectral import rgb2spec
     from pbrt_tpu.textures.image import load_image
 
@@ -115,6 +135,13 @@ def build_tex_arrays(specs, scene_root):
     amount_tex = np.full(NT, -1, np.int32)
     uvmap = np.tile(np.array([1.0, 1.0, 0.0, 0.0], f32), (NT, 1))
     tdir = np.tile(np.array([0.0, 1.0, 0.0], f32), (NT, 1))
+    mapkind = np.zeros(NT, np.int32)
+    tex_from_render = np.tile(np.eye(4, dtype=f32), (max(NT, 1), 1, 1))[:NT]
+    map_v1 = np.tile(np.array([1.0, 0.0, 0.0], f32), (NT, 1))
+    map_v2 = np.tile(np.array([0.0, 1.0, 0.0], f32), (NT, 1))
+    world_from_render = np.eye(4)
+    if cam_pos is not None:
+        world_from_render[:3, 3] = np.asarray(cam_pos)
 
     # image files -> atlas
     files = []
@@ -133,6 +160,10 @@ def build_tex_arrays(specs, scene_root):
     for i, s in enumerate(specs):
         ttype[i] = kind_codes[s.kind]
         uvmap[i] = [s.uscale, s.vscale, s.udelta, s.vdelta]
+        mapkind[i] = _MAP_NAMES[getattr(s, "mapping", "uv")]
+        tex_from_render[i] = (s.tex_from_world @ world_from_render).astype(f32)
+        map_v1[i] = s.v1
+        map_v2[i] = s.v2
         if s.kind == "constant":
             if s.is_spectrum and s.rgb is not None:
                 rgb = np.asarray(s.rgb, np.float64)
@@ -202,6 +233,10 @@ def build_tex_arrays(specs, scene_root):
         amount=jnp.asarray(amount),
         amount_tex=jnp.asarray(amount_tex),
         uvmap=jnp.asarray(uvmap),
+        mapkind=jnp.asarray(mapkind),
+        tex_from_render=jnp.asarray(tex_from_render),
+        map_v1=jnp.asarray(map_v1),
+        map_v2=jnp.asarray(map_v2),
         dir=jnp.asarray(tdir),
         imgs=atlas,
     )
@@ -249,19 +284,40 @@ def image_bilerp(imgs: ImageAtlas, img_idx, st):
             + (1 - dx) * dy * v01 + dx * dy * v11)
 
 
-def _mapped_uv(tex: TexArrays, node, uv):
+def _mapped_uv(tex: TexArrays, node, uv, p=None):
+    """(u, v) per the node's mapping (reference texture_mapping_2d):
+    uv (scaled/offset surface uv), or spherical/cylindrical/planar derived
+    from the hit position p mapped into the node's texture space."""
     m = tex.uvmap[node]
-    return jnp.stack(
+    st = jnp.stack(
         [uv[..., 0] * m[..., 0] + m[..., 2], uv[..., 1] * m[..., 1] + m[..., 3]], -1
     )
+    if p is None:
+        return st
+    mk = tex.mapkind[node]
+    M = tex.tex_from_render[node]                    # (R,4,4)
+    pt = jnp.einsum("rij,rj->ri", M[:, :3, :3], p) + M[:, :3, 3]
+    r_len = jnp.sqrt(jnp.maximum(jnp.sum(pt * pt, -1), 1e-20))
+    theta = jnp.arccos(jnp.clip(pt[..., 2] / r_len, -1.0, 1.0))
+    phi = jnp.arctan2(pt[..., 1], pt[..., 0])
+    phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
+    sph = jnp.stack([theta / jnp.pi, phi / (2.0 * jnp.pi)], -1)
+    cyl = jnp.stack([phi / (2.0 * jnp.pi), pt[..., 2]], -1)
+    pla = jnp.stack(
+        [jnp.sum(pt * tex.map_v1[node], -1) + m[..., 2],
+         jnp.sum(pt * tex.map_v2[node], -1) + m[..., 3]], -1)
+    out = jnp.where((mk == MAP_SPHERICAL)[..., None], sph, st)
+    out = jnp.where((mk == MAP_CYLINDRICAL)[..., None], cyl, out)
+    out = jnp.where((mk == MAP_PLANAR)[..., None], pla, out)
+    return out
 
 
-def _leaf_rgb_or_value(tex: TexArrays, node, uv):
+def _leaf_rgb_or_value(tex: TexArrays, node, uv, p=None):
     """Evaluate a leaf node to (rgb (R,3), const_coeffs (R,3), cscale (R,),
     is_image (R,)). Combinators must not reach here (build-time checked)."""
     node_c = jnp.maximum(node, 0)
     t = tex.type[node_c]
-    st = _mapped_uv(tex, node_c, uv)
+    st = _mapped_uv(tex, node_c, uv, p)
     st = st.at[..., 1].set(1.0 - st[..., 1])  # flip v (spectrum_image_texture.cu:18)
     rgb = tex.img_scale[node_c][..., None] * image_bilerp(tex.imgs, tex.img[node_c], st)
     rgb = jnp.where(tex.img_invert[node_c][..., None], 1.0 - rgb, rgb)
@@ -269,11 +325,11 @@ def _leaf_rgb_or_value(tex: TexArrays, node, uv):
     return t, rgb, tex.coeffs[node_c], tex.cscale[node_c]
 
 
-def _leaf_spectrum(tex: TexArrays, node, uv, lam):
+def _leaf_spectrum(tex: TexArrays, node, uv, lam, p=None):
     """Leaf -> spectral values (R,4). Missing node (<0) -> 0."""
     from pbrt_tpu.spectral import rgb2spec, spectra
 
-    t, rgb, coeffs, cscale = _leaf_rgb_or_value(tex, node, uv)
+    t, rgb, coeffs, cscale = _leaf_rgb_or_value(tex, node, uv, p)
     img_coeffs = rgb2spec.rgb_to_coefficients(jnp.clip(rgb, 0.0, 1.0))
     c = jnp.where((t == TEX_IMAGE)[..., None], img_coeffs, coeffs)
     scale = jnp.where(t == TEX_IMAGE, 1.0, cscale)
@@ -281,31 +337,31 @@ def _leaf_spectrum(tex: TexArrays, node, uv, lam):
     return jnp.where((node < 0)[..., None], 0.0, val)
 
 
-def _leaf_float(tex: TexArrays, node, uv, default=0.0):
-    t, rgb, _, cscale = _leaf_rgb_or_value(tex, node, uv)
+def _leaf_float(tex: TexArrays, node, uv, default=0.0, p=None):
+    t, rgb, _, cscale = _leaf_rgb_or_value(tex, node, uv, p)
     v = jnp.where(t == TEX_IMAGE, rgb[..., 0], cscale)
     return jnp.where(node < 0, default, v)
 
 
-def eval_spectrum(tex: TexArrays, node, uv, ns, lam):
+def eval_spectrum(tex: TexArrays, node, uv, ns, lam, p=None):
     """Evaluate spectrum texture node per lane.
 
     node (R,) i32; uv (R,2); ns (R,3) shading normal (directionmix);
-    lam (R,4). -> (R,4).
+    lam (R,4); p (R,3) hit position (non-uv mappings). -> (R,4).
     """
     node_c = jnp.maximum(node, 0)
     t = tex.type[node_c]
-    self_val = _leaf_spectrum(tex, node_c, uv, lam)
+    self_val = _leaf_spectrum(tex, node_c, uv, lam, p)
 
     c1 = tex.child[node_c, 0]
     c2 = tex.child[node_c, 1]
-    v1 = _leaf_spectrum(tex, c1, uv, lam)
-    v2 = _leaf_spectrum(tex, c2, uv, lam)
+    v1 = _leaf_spectrum(tex, c1, uv, lam, p)
+    v2 = _leaf_spectrum(tex, c2, uv, lam, p)
 
     # scale: tex1 * amount (float texture or const)
     amt_f = jnp.where(
         tex.amount_tex[node_c] >= 0,
-        _leaf_float(tex, tex.amount_tex[node_c], uv),
+        _leaf_float(tex, tex.amount_tex[node_c], uv, p=p),
         tex.amount[node_c],
     )
     scale_val = v1 * amt_f[..., None]
@@ -315,7 +371,7 @@ def eval_spectrum(tex: TexArrays, node, uv, ns, lam):
 
     # checkerboard (point-sampled: filter width r->0 limit of
     # spectrum_checkerboard_texture.cu:7-33)
-    st = _mapped_uv(tex, node_c, uv)
+    st = _mapped_uv(tex, node_c, uv, p)
     parity = (jnp.floor(st[..., 0]) + jnp.floor(st[..., 1])).astype(jnp.int32) & 1
     checker_val = jnp.where((parity == 0)[..., None], v1, v2)
 
@@ -331,17 +387,17 @@ def eval_spectrum(tex: TexArrays, node, uv, ns, lam):
     return jnp.where((node < 0)[..., None], 0.0, out)
 
 
-def eval_float(tex: TexArrays, node, uv, default=0.0):
+def eval_float(tex: TexArrays, node, uv, default=0.0, p=None):
     """Evaluate float texture node per lane (base/float_texture.cu:11-24:
     constant / imagemap / scale)."""
     node_c = jnp.maximum(node, 0)
     t = tex.type[node_c]
-    self_val = _leaf_float(tex, node_c, uv)
+    self_val = _leaf_float(tex, node_c, uv, p=p)
     c1 = tex.child[node_c, 0]
-    v1 = _leaf_float(tex, c1, uv)
+    v1 = _leaf_float(tex, c1, uv, p=p)
     amt_f = jnp.where(
         tex.amount_tex[node_c] >= 0,
-        _leaf_float(tex, tex.amount_tex[node_c], uv),
+        _leaf_float(tex, tex.amount_tex[node_c], uv, p=p),
         tex.amount[node_c],
     )
     out = jnp.where(t == TEX_SCALE, v1 * amt_f, self_val)

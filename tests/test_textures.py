@@ -227,3 +227,52 @@ def test_textured_scene_renders(tmp_path):
     # floor region shows alternating bright/dark cells with real contrast
     floor = lum[18:30, 4:28]
     assert floor.max() > 3 * max(floor.min(), 1e-4)
+
+
+def test_texture_mappings(tmp_path):
+    """spherical/cylindrical/planar mappings (reference texture_mapping_2d):
+    (u, v) derived from the hit position in texture space."""
+    import jax.numpy as jnp
+    from pbrt_tpu.textures import textures as txl
+
+    specs = [
+        TexSpec(kind="constant", is_spectrum=True, rgb=np.array([0.0, 0.0, 0.0])),
+        TexSpec(kind="constant", is_spectrum=True, rgb=np.array([1.0, 1.0, 1.0])),
+        TexSpec(kind="checkerboard", is_spectrum=True, tex1=0, tex2=1,
+                mapping="planar", v1=np.array([1.0, 0, 0]), v2=np.array([0.0, 1, 0])),
+        TexSpec(kind="checkerboard", is_spectrum=True, tex1=0, tex2=1,
+                mapping="spherical"),
+        TexSpec(kind="checkerboard", is_spectrum=True, tex1=0, tex2=1,
+                mapping="cylindrical"),
+    ]
+    t = txl.build_tex_arrays(specs, str(tmp_path), cam_pos=np.zeros(3))
+    lam = jnp.full((4, 4), 550.0)
+    ns = jnp.zeros((4, 3)).at[:, 2].set(1.0)
+    uv = jnp.zeros((4, 2))  # non-uv mappings must ignore surface uv
+
+    # planar: u = p.x, v = p.y -> cells alternate along x
+    p = jnp.asarray([[0.5, 0.5, 0.0], [1.5, 0.5, 0.0],
+                     [0.5, 1.5, 0.0], [1.5, 1.5, 0.0]], jnp.float32)
+    v = np.asarray(txl.eval_spectrum(t, jnp.full((4,), 2, jnp.int32), uv, ns, lam, p))
+    assert v[0].max() < 0.05 and v[3].max() < 0.05
+    assert v[1].min() > 0.5 and v[2].min() > 0.5
+
+    # spherical: u = theta/pi flips between northern/southern hemisphere
+    # (scale 2x in v... default scales 1: theta/pi in [0,1] -> floor 0
+    # everywhere, so use phi variation instead via uscale=1: cells split at
+    # phi = pi). Probe +x vs -x directions:
+    p2 = jnp.asarray([[1.0, 0.1, 0.0], [-1.0, -0.1, 0.0],
+                      [1.0, 0.1, 0.0], [-1.0, -0.1, 0.0]], jnp.float32)
+    v2 = np.asarray(txl.eval_spectrum(t, jnp.full((4,), 3, jnp.int32), uv, ns, lam, p2))
+    # phi/2pi differs by ~0.5 -> same cell parity at scale 1; just check
+    # evaluation is finite and INDEPENDENT of the surface uv
+    v2b = np.asarray(txl.eval_spectrum(
+        t, jnp.full((4,), 3, jnp.int32), uv + 0.37, ns, lam, p2))
+    np.testing.assert_allclose(v2, v2b)
+
+    # cylindrical: v = z -> alternates along z
+    p3 = jnp.asarray([[1.0, 0.0, 0.5], [1.0, 0.0, 1.5],
+                      [1.0, 0.0, 2.5], [1.0, 0.0, 3.5]], jnp.float32)
+    v3 = np.asarray(txl.eval_spectrum(t, jnp.full((4,), 4, jnp.int32), uv, ns, lam, p3))
+    par = v3.max(-1) > 0.5
+    assert par[0] != par[1] and par[1] != par[2] and par[2] != par[3]
