@@ -92,6 +92,30 @@ def develop(film: Film, resolution, splat_scale=0.0, out_matrix=None,
     return out.reshape(h, w, 3)
 
 
+def save_checkpoint(path, film: Film, spp_done: int):
+    """Snapshot the film + sample counter (SURVEY §5 failure detection /
+    checkpoint-resume: per-pass accumulation makes renders naturally
+    resumable; the reference has no equivalent)."""
+    np.savez(
+        path,
+        rgb_sum=np.asarray(film.rgb_sum),
+        weight_sum=np.asarray(film.weight_sum),
+        splat=np.asarray(film.splat),
+        spp_done=np.int64(spp_done),
+    )
+
+
+def load_checkpoint(path):
+    """-> (Film, spp_done) from save_checkpoint."""
+    z = np.load(path)
+    film = Film(
+        rgb_sum=jnp.asarray(z["rgb_sum"]),
+        weight_sum=jnp.asarray(z["weight_sum"]),
+        splat=jnp.asarray(z["splat"]),
+    )
+    return film, int(z["spp_done"])
+
+
 def to_srgb8(linear_rgb):
     enc = colorspace.srgb_encode(jnp.clip(linear_rgb, 0.0, 1.0))
     return np.asarray(jnp.round(enc * 255.0).astype(jnp.uint8))

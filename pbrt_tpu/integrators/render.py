@@ -179,8 +179,14 @@ def render_spp_fused(
     return jax.lax.fori_loop(0, n_iters, body, (film, jnp.float32(0.0)))
 
 
-def render(scene, meta, tile_rays=1 << 20, verbose=False):
-    """Full render -> (H, W, 3) linear RGB jnp array."""
+def render(scene, meta, tile_rays=1 << 20, verbose=False,
+           checkpoint_path=None, checkpoint_every=0):
+    """Full render -> (H, W, 3) linear RGB jnp array.
+
+    checkpoint_path + checkpoint_every>0: snapshot the film every
+    `checkpoint_every` spp and RESUME from an existing snapshot (path-family
+    integrators; the fused render is re-entered at the saved sample index,
+    so a killed render continues rather than restarts)."""
     if meta.integrator in ("mltpath", "mlt", "mltbdpt"):
         from pbrt_tpu.integrators import mlt as mlt_mod
 
@@ -192,19 +198,36 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False):
 
     if meta.integrator in ("path", "volpath", "megakernelpath") and n_pixels <= tile_rays:
         # all spp in one jit (fori_loop over sample batches, film as carry)
+        import os
+
+        spp_done = 0
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            film, spp_done = filmlib.load_checkpoint(checkpoint_path)
+            if verbose:
+                print(f"resuming from {checkpoint_path} at {spp_done} spp")
         lanes_spp = 1
         for k in range(min(meta.spp, max(1, tile_rays // n_pixels)), 0, -1):
             if meta.spp % k == 0:
                 lanes_spp = k
                 break
         pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
-        film, _ = render_spp_fused(
-            scene, film, pixel_ids, 0,
-            n_spp=meta.spp, lanes_spp=lanes_spp, max_depth=meta.max_depth,
-            use_lens=use_lens, res_x=res_x, sampler_kind=meta.sampler,
-            spp=meta.spp, filter_kind=meta.filter_kind,
-            env_ids=meta.env_light_ids, volumetric=meta.volumetric,
-        )
+        chunk = (checkpoint_every if checkpoint_path and checkpoint_every > 0
+                 else meta.spp)
+        chunk = max(lanes_spp, (chunk // lanes_spp) * lanes_spp)
+        s0 = spp_done
+        while s0 < meta.spp:
+            n = min(chunk, meta.spp - s0)
+            film, _ = render_spp_fused(
+                scene, film, pixel_ids, s0,
+                n_spp=n, lanes_spp=min(lanes_spp, n), max_depth=meta.max_depth,
+                use_lens=use_lens, res_x=res_x, sampler_kind=meta.sampler,
+                spp=meta.spp, filter_kind=meta.filter_kind,
+                env_ids=meta.env_light_ids, volumetric=meta.volumetric,
+            )
+            s0 += n
+            if checkpoint_path and s0 < meta.spp:
+                film.rgb_sum.block_until_ready()
+                filmlib.save_checkpoint(checkpoint_path, film, s0)
         return filmlib.develop(
             film, meta.resolution,
             out_matrix=meta.film_out_matrix,

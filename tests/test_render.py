@@ -137,3 +137,31 @@ def test_nee_and_bsdf_estimators_agree():
     a, b2 = np.asarray(est_nee), np.asarray(est_b)
     assert np.all(a > 0)
     assert np.allclose(a, b2, rtol=0.1), (a, b2)
+
+
+def test_checkpoint_resume(tmp_path):
+    """A render killed mid-way resumes from the film snapshot and produces
+    the SAME image as an uninterrupted run (same RNG streams per sample)."""
+    import os
+    import jax.numpy as jnp
+    from pbrt_tpu.film import film as filmlib
+    from pbrt_tpu.scene.testscenes import cornell
+    from pbrt_tpu.integrators import render as R
+
+    scene, meta = cornell(res=16, spp=4)
+    ck = str(tmp_path / "film.npz")
+    full = np.asarray(R.render(scene, meta))
+
+    # simulate an interrupted run: render only the first 2 spp, snapshot
+    film = filmlib.new_film((16, 16))
+    pix = jnp.arange(16 * 16, dtype=jnp.int32)
+    film, _ = R.render_spp_fused(
+        scene, film, pix, 0, n_spp=2, lanes_spp=2, max_depth=meta.max_depth,
+        use_lens=False, res_x=16, sampler_kind=meta.sampler, spp=meta.spp,
+        filter_kind=meta.filter_kind,
+    )
+    filmlib.save_checkpoint(ck, film, 2)
+
+    resumed = np.asarray(R.render(scene, meta, checkpoint_path=ck,
+                                  checkpoint_every=2))
+    np.testing.assert_allclose(resumed, full, rtol=1e-4, atol=1e-5)
