@@ -13,6 +13,13 @@ def main(argv=None):
     ap.add_argument("--integrator", default=None, help="path|ambientocclusion|surfacenormal|...")
     ap.add_argument("--outfile", default=None, help="output PNG path")
     ap.add_argument("--resolution", default=None, help="WxH override, e.g. 256x256")
+    ap.add_argument("--checkpoint", default=None, metavar="FILE.npz",
+                    help="film snapshot path; resumes from it if present")
+    ap.add_argument("--checkpoint-every", type=int, default=0, metavar="SPP",
+                    help="snapshot the film every N spp (needs --checkpoint)")
+    ap.add_argument("--heatmap", default=None, metavar="FILE.png",
+                    help="MLT integrators: write the sampling-density "
+                         "heatmap PNG (reference GreyScaleFilm)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -41,7 +48,11 @@ def main(argv=None):
             f"integrator={meta.integrator} (devices: {jax.devices()})"
         )
     t1 = time.time()
-    out = render_to_png(scene, meta, out_path=args.outfile, verbose=not args.quiet)
+    out = render_to_png(
+        scene, meta, out_path=args.outfile, verbose=not args.quiet,
+        checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
+        heatmap_path=args.heatmap,
+    )
     t2 = time.time()
     if not args.quiet:
         n_rays = meta.resolution[0] * meta.resolution[1] * meta.spp

@@ -96,13 +96,22 @@ def save_checkpoint(path, film: Film, spp_done: int):
     """Snapshot the film + sample counter (SURVEY §5 failure detection /
     checkpoint-resume: per-pass accumulation makes renders naturally
     resumable; the reference has no equivalent)."""
-    np.savez(
-        path,
-        rgb_sum=np.asarray(film.rgb_sum),
-        weight_sum=np.asarray(film.weight_sum),
-        splat=np.asarray(film.splat),
-        spp_done=np.int64(spp_done),
-    )
+    import os
+
+    # write-then-rename: a crash mid-write (the scenario checkpoints exist
+    # for) must leave either the old or the new complete snapshot, never a
+    # truncated npz. Writing through a file object also stops np.savez from
+    # appending '.npz' to the temp name.
+    tmp = str(path) + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(
+            f,
+            rgb_sum=np.asarray(film.rgb_sum),
+            weight_sum=np.asarray(film.weight_sum),
+            splat=np.asarray(film.splat),
+            spp_done=np.int64(spp_done),
+        )
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path):

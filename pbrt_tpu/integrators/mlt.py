@@ -240,13 +240,22 @@ def render_mlt_bdpt(scene, meta, n_chains=N_CHAINS, n_bootstrap=None, seed=0,
     scale = b * n_pixels / (n_passes * n_chains)
     img = splat * scale
 
-    from pbrt_tpu.spectral import colorspace
-
-    out = colorspace.apply_matrix(colorspace.srgb().rgb_from_xyz, img)
-    out = out.reshape(res_y, res_x, 3)
+    out = _develop_mlt(img, meta, res_x, res_y)
     if return_heatmap:
         return out, heat.reshape(res_y, res_x)
     return out
+
+
+def _develop_mlt(img, meta, res_x, res_y):
+    """XYZ splat sums -> output RGB honoring the PixelSensor exactly like
+    film.develop (imaging ratio + white-balanced out matrix; reference
+    rgb_film.cu get_pixel_rgb applies the sensor to splats too)."""
+    from pbrt_tpu.spectral import colorspace
+
+    m = (jnp.asarray(meta.film_out_matrix) if meta.film_out_matrix is not None
+         else colorspace.srgb().rgb_from_xyz)
+    out = colorspace.apply_matrix(m, img * meta.film_imaging_ratio)
+    return out.reshape(res_y, res_x, 3)
 
 
 def render_mlt(scene, meta, n_chains=N_CHAINS, n_bootstrap=None, seed=0,
@@ -316,7 +325,7 @@ def render_mlt(scene, meta, n_chains=N_CHAINS, n_bootstrap=None, seed=0,
     scale = b * n_pixels / mutations_done
     img = splat * scale
 
-    from pbrt_tpu.spectral import colorspace
-
-    out = colorspace.apply_matrix(colorspace.srgb().rgb_from_xyz, img)
-    return out.reshape(res_y, res_x, 3)
+    out = _develop_mlt(img, meta, res_x, res_y)
+    if return_heatmap:
+        return out, heat.reshape(res_y, res_x)
+    return out

@@ -60,12 +60,20 @@ class PathState(NamedTuple):
 
 
 def _pick_light(scene, u):
-    """Sample a light index proportional to lt_pmf via CDF inversion.
-    Returns (idx, pmf). (PowerLightSampler equivalent; alias table later.)"""
-    cdf = jnp.cumsum(scene.lt_pmf)
-    idx = jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
-    idx = jnp.clip(idx, 0, scene.lt_pmf.shape[0] - 1)
-    return idx, take_rows(scene.lt_pmf, idx)
+    """Sample a light index proportional to lt_pmf in O(1) via the packed
+    alias table (PowerLightSampler, power_light_sampler.cu:7-63 +
+    alias_table.cu sample): two row gathers per lane instead of a CDF scan.
+    Returns (idx, pmf)."""
+    rows = scene.lt_alias_rows                       # (L,3) [q, alias, pmf]
+    n = rows.shape[0]
+    x = u * n
+    i = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n - 1)
+    frac = x - i.astype(jnp.float32)
+    row = take_rows(rows, i)
+    accept = frac < row[:, 0]
+    idx = jnp.where(accept, i, row[:, 1].astype(jnp.int32))
+    pmf = jnp.where(accept, row[:, 2], take_rows(rows, idx)[:, 2])
+    return idx, pmf
 
 
 def _sigma_t(scene, medium, lam):

@@ -152,9 +152,14 @@ def render_spp_fused(
     def body(i, carry):
         film, nrays = carry
         sample_ids = s0 + i * lanes_spp + rep
+        # n_iters rounds UP: zero the film weight of sample ids past the
+        # requested range so a non-divisible n_spp (or a resume at an s0 not
+        # aligned to a re-derived lanes_spp) never over-weights replicates
+        in_range = sample_ids < s0 + n_spp
         r = samplers.start_pixel_sample(ids_k, sample_ids)
         r, u_pixel = samplers.get_pixel_2d(r, None, sampler_kind, spp)
         fp, weight = filters.sample(scene.filt, filter_kind, u_pixel)
+        weight = jnp.where(in_range, weight, 0.0)
         px = (ids_k % res_x).astype(jnp.float32)
         py = (ids_k // res_x).astype(jnp.float32)
         p_film = jnp.stack([px, py], axis=-1) + 0.5 + fp
@@ -180,16 +185,26 @@ def render_spp_fused(
 
 
 def render(scene, meta, tile_rays=1 << 20, verbose=False,
-           checkpoint_path=None, checkpoint_every=0):
+           checkpoint_path=None, checkpoint_every=0, heatmap_path=None):
     """Full render -> (H, W, 3) linear RGB jnp array.
 
     checkpoint_path + checkpoint_every>0: snapshot the film every
     `checkpoint_every` spp and RESUME from an existing snapshot (path-family
     integrators; the fused render is re-entered at the saved sample index,
-    so a killed render continues rather than restarts)."""
+    so a killed render continues rather than restarts).
+    heatmap_path: MLT integrators write the sampling-density heatmap PNG
+    (reference GreyScaleFilm) alongside the render."""
     if meta.integrator in ("mltpath", "mlt", "mltbdpt"):
         from pbrt_tpu.integrators import mlt as mlt_mod
 
+        if heatmap_path:
+            img, heat = mlt_mod.render_mlt(
+                scene, meta, verbose=verbose, return_heatmap=True
+            )
+            _write_heatmap_png(heatmap_path, heat)
+            if verbose:
+                print(f"heatmap -> {heatmap_path}")
+            return img
         return mlt_mod.render_mlt(scene, meta, verbose=verbose)
     res_x, res_y = meta.resolution
     n_pixels = res_x * res_y
@@ -271,6 +286,17 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False,
         out_matrix=meta.film_out_matrix,
         imaging_ratio=meta.film_imaging_ratio,
     )
+
+
+def _write_heatmap_png(path, heat):
+    """Normalized grayscale PNG of MLT sampling density (reference
+    film/grey_scale_film.cu write_to_png)."""
+    from pbrt_tpu.film import png
+
+    h = np.asarray(heat, np.float32)
+    g = h / max(float(h.max()), 1e-12)
+    g8 = np.round(np.clip(g, 0.0, 1.0) * 255.0).astype(np.uint8)
+    png.write_png(path, np.repeat(g8[..., None], 3, axis=-1))
 
 
 def render_to_png(scene, meta, out_path=None, **kw):

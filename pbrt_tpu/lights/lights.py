@@ -285,14 +285,6 @@ def sample_li(scene, light_idx, p_ref, ns_ref, u2, lam, scene_radius):
     )
 
 
-def infinite_le(scene, lam):
-    """Sum of uniform-infinite-light radiance for escaped rays: (4,) per lane
-    handled by caller; here returns (L_total (R,4) fn, pdf per light).
-    v0: uniform infinite only (image env maps in a later phase)."""
-    # computed in the integrator via a scan over infinite lights
-    raise NotImplementedError
-
-
 def uniform_infinite_pdf_li():
     return warps.UNIFORM_SPHERE_PDF
 

@@ -631,11 +631,18 @@ class SceneBuilder:
                 s, center=np.asarray(s["center"]) @ M.T + t,
                 radius=s["radius"] * sc, rot=rot_i @ s["rot"],
                 zmin=s["zmin"] * sc, zmax=s["zmax"] * sc,
+                # mirrored instances flip orientation, same composition as
+                # the triangle path's rev ^ swap above
+                rev=s.get("rev", False) ^ swap,
             ))
         for dk in d["disks"]:
             sc = abs(np.linalg.det(M)) ** (1.0 / 3.0)
             n2 = dk["normal"] @ inv[:3, :3]
             n2 = n2 / max(np.linalg.norm(n2), 1e-30)
+            if swap:
+                # reflecting CTM: the disk shades/emits on the flipped side
+                # (mirror of the triangle rev ^ swap composition)
+                n2 = -n2
             xax = M @ dk["xaxis"]
             xax = xax / max(np.linalg.norm(xax), 1e-30)
             self.disks.append(dict(dk, center=np.asarray(dk["center"]) @ M.T + t,

@@ -121,6 +121,9 @@ class SceneArrays(NamedTuple):
     lt_cos_start: jnp.ndarray    # (L,)
     lt_cos_end: jnp.ndarray
     lt_pmf: jnp.ndarray          # (L,) sampling pmf
+    lt_alias_rows: jnp.ndarray   # (L,3) packed [q, alias, pmf] — O(1)
+                                 # alias-table light pick in TWO row gathers
+                                 # (reference power_light_sampler.cu:7-63)
     # image-infinite lights: env atlas + flat alias tables (distribution/)
     lt_env_off: jnp.ndarray      # (L,) i32 offset into env atlas (-1 none)
     lt_env_w: jnp.ndarray        # (L,) i32
@@ -460,6 +463,16 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
     if power.sum() <= 0:
         power = np.ones(L)
     lt_pmf = (power / power.sum()).astype(f32) if L else np.zeros((0,), f32)
+    # O(1) alias-table light pick (PowerLightSampler's Distribution1D): pack
+    # [q, alias, pmf] in one row so a pick costs two row gathers, not a
+    # per-lane CDF scan
+    if L:
+        lt_q, lt_alias, _ = dist.alias_table_build(lt_pmf)
+        lt_alias_rows = np.stack(
+            [lt_q, lt_alias.astype(f32), lt_pmf], axis=1
+        ).astype(f32)
+    else:
+        lt_alias_rows = np.zeros((0, 3), f32)
 
     # ---- scene bounds -> epsilon (reference scene_builder.cu:914-918)
     # tp[:T]: BVH padding rows are degenerate zeros, not scene geometry
@@ -593,6 +606,7 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         lt_cos_start=jnp.asarray(lt_cos_start),
         lt_cos_end=jnp.asarray(lt_cos_end),
         lt_pmf=jnp.asarray(lt_pmf),
+        lt_alias_rows=jnp.asarray(lt_alias_rows),
         lt_env_off=jnp.asarray(lt_env_off),
         lt_env_w=jnp.asarray(lt_env_w),
         lt_env_h=jnp.asarray(lt_env_h),
