@@ -1,10 +1,15 @@
-"""Benchmark: rays/sec on the Cornell-box config (BASELINE.json config 1).
+"""Benchmark: rays/sec on the BASELINE.json configs (1 chip, honest count).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} PER CONFIG:
+  - cornell      — the 14-primitive analytic scene (dense-kernel path)
+  - cornell_mesh — 16,384 triangles (BVH path; VERDICT r2 next-1a)
+  - terrain      — 130,050-triangle PLY height field (BVH at staircase-class
+                   scale, BASELINE.md #2)
+The last line (terrain) is the headline the driver parses.
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is the
 ratio against a fixed engineering target of 100 Mrays/s/chip — the order of
-magnitude a single modern accelerator sustains on this scene in the
+magnitude a single modern accelerator sustains on these scenes in the
 reference's class of renderer.
 
 Ray accounting is HONEST (VERDICT r1 item 3): the path integrator counts the
@@ -27,7 +32,7 @@ import jax.numpy as jnp
 
 from pbrt_tpu.film import film as filmlib
 from pbrt_tpu.integrators.render import render_spp_fused
-from pbrt_tpu.scene.testscenes import cornell
+from pbrt_tpu.scene import testscenes
 
 RES = 256
 SPP = 16
@@ -57,17 +62,25 @@ def run(scene, meta):
     return float(nrays), dt
 
 
-def main():
-    scene, meta = cornell(res=RES, spp=SPP)
+def bench_config(name, make_scene):
+    scene, meta = make_scene()
     nrays, dt = run(scene, meta)
     rays_per_sec = nrays / dt
     print(json.dumps({
-        "metric": f"rays/sec/chip cornell-box {RES}x{RES} path mdepth="
-                  f"{meta.max_depth} spp={SPP} (honest count)",
+        "metric": f"rays/sec/chip {name} {RES}x{RES} path mdepth="
+                  f"{meta.max_depth} spp={SPP} tris={meta.n_tris} (honest count)",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / TARGET_RAYS_PER_SEC, 4),
-    }))
+    }), flush=True)
+
+
+def main():
+    bench_config("cornell-box", lambda: testscenes.cornell(res=RES, spp=SPP))
+    bench_config(
+        "cornell-mesh", lambda: testscenes.cornell_mesh(res=RES, spp=SPP, levels=5)
+    )
+    bench_config("terrain-ply", lambda: testscenes.terrain(res=RES, spp=SPP))
 
 
 if __name__ == "__main__":

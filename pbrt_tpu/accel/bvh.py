@@ -1,36 +1,45 @@
-"""Bounding volume hierarchy over the triangle soup — TPU-native LBVH.
+"""Bounding volume hierarchy over the triangle soup — TPU-native wide BVH.
 
 Replaces the role of the reference HLBVH (accelerator/hlbvh.cu:172 build,
 :407-516 traversal; hlbvh.h:76-101 interface), redesigned for XLA:
 
 Build (host, numpy, scene-compile time — build is precompute, not the metric,
 matching SURVEY §7 Phase 1):
-  - triangles are sorted by the 30-bit morton code of their centroid
-    (reference hlbvh.cu:229 hlbvh_compute_morton_code) and PHYSICALLY
-    reordered so BVH leaves are contiguous runs;
-  - the soup is padded to P * K triangles (P a power of two) with degenerate
-    never-hit triangles, giving exactly P leaves of exactly K prims;
-  - the tree is the IMPLICIT complete binary tree over the P morton-ordered
-    chunks: children of node i live at 2i+1 / 2i+2, leaves are node ids
-    >= P-1. A median split in morton order is the LBVH topology minus the
-    variable-depth radix splits.
+  - top-down **binned SAH** binary build (the reference's quality target is
+    its 24-bucket top SAH, hlbvh.cu:611-813; we bin 16 buckets on the largest
+    centroid axis at every node, with morton-median fallback for degenerate
+    and tiny ranges);
+  - the binary tree is **collapsed into an 8-wide BVH** (largest-area-first
+    slot expansion) because on TPU the traversal cost driver is the per-step
+    row GATHER (~1 ms per 262k rows regardless of row width 4..64 f32 —
+    tools/bench_gather.py), so each step should consume as much tree as one
+    row can carry: 8 child AABBs + 8 child links = 56 f32;
+  - leaves are padded to exactly K triangles and the triangle soup is
+    physically reordered so leaf chunks are contiguous rows.
 
-Memory layout is dictated by measured TPU gather behavior
-(tools/bench_gather.py on v5e: random row gathers cost ~1 ms per 256k rows
-REGARDLESS of row width 4..64 f32): everything a traversal step needs is
-packed into ONE wide row —
-  - `nodes` (P-1, 12): both children's bounds in the PARENT row
-    [lmin lmax rmin rmax], so an internal step is a single gather;
-  - `leaf_tris` (P, K*9): all K triangles of a chunk in one row, so a leaf
-    step is a single gather.
+Memory layout: everything a traversal step needs is packed into ONE wide row
+of the unified `rows` table (internal rows first, leaf rows after):
+  - internal row i < n_int: [slot0 lo(3) hi(3) | ... slot7 lo hi | 8 child
+    ids as exact small floats] = 56 f32 (empty slots: inverted box, id -1);
+  - leaf row n_int + c: the K triangles of chunk c, [p0 p1 p2] x K.
 
 Traversal (device, jit):
-  - vectorized over rays; per-ray state = current node + fixed-size stack
-    (depth = log2(P), known statically from the array shapes);
-  - near-child-first ordering + t_best shrinkage, like hlbvh.cu:459-516's
-    Stack<int,128> loop, but as a `lax.while_loop` over dense lanes, with a
-    hard iteration bound so a traversal bug degrades instead of wedging the
-    chip watchdog;
+  - vectorized over rays; per-ray state = one packed int32 `cur` =
+    node_id * 256 + child_bitmask (mask 0xFF = fresh visit) and a small
+    int32 stack of the same packed entries. A visit with c surviving
+    children descends into the nearest and pushes AT MOST ONE entry:
+    the sibling itself when c == 2, or (node, remaining-mask) when c >= 3
+    (revisits re-gather + re-cull against the shrunken t_best — the
+    re-cull is free stale-entry elimination, cf. Ylitie et al. wide-BVH
+    traversal);
+  - the ray's watertight shear transform is hoisted out of the loop
+    (d is loop-invariant), so a leaf step is K translate+edge-function
+    tests with no per-iteration argmax/permute;
+  - masked-dense execution is gated by the WORST lane, so the loop runs as
+    a **compaction ladder** (measured in PROFILE.md §3): a capped full-width
+    stage, then survivors continue in geometrically narrower buffers, then
+    an exact chunked dense sweep finishes the extreme tail, then a
+    full-width uncapped safety loop that normally runs zero iterations;
   - the loop returns only the DISCRETE winner (prim index); the
     differentiable hit record is recomputed outside the loop with one
     per-lane watertight test against tri_p0/p1/p2. Reverse-mode AD cannot
@@ -46,109 +55,272 @@ import jax.numpy as jnp
 from pbrt_tpu.utils.math import INFINITY, encode_morton3, gamma
 from pbrt_tpu.geometry import intersect as ix
 
-# Leaf size: each leaf holds exactly K morton-consecutive triangles; one
-# leaf visit costs one row gather + K masked watertight tests. Bigger K
-# shrinks the tree and (critically, for masked-dense execution) the WORST
-# lane's visit count — silhouette-grazing rays cross O(sqrt(T)/K) leaf
-# cells and every extra iteration runs on all lanes. Env-overridable for
+# Leaf size: each leaf holds exactly K reordered triangles; one leaf visit
+# costs one row gather + K masked watertight tests. Env-overridable for
 # tuning (tools/bench_bvh.py).
 import os as _os
 
 LEAF_K = int(_os.environ.get("PBRT_TPU_BVH_LEAF_K", "4"))
+# 8-wide nodes: one 56-f32 row carries 8 child boxes + links (see module doc)
+WIDTH = 8
+ROW_W = max(6 * WIDTH + WIDTH, 9 * LEAF_K)
 # Scenes below this triangle count use the dense all-pairs kernel instead.
 MIN_TRIS_FOR_BVH = 64
+
+_SAH_BINS = 16
+_SAH_MIN = 17          # ranges smaller than this split at the median instead
+_MAX_DEPTH = 48        # beyond this, force median splits (degenerate scenes)
 
 
 class BvhBuild(NamedTuple):
     """Host-side build result."""
 
-    rows: np.ndarray       # (2P-1, max(12, K*9)) f32 — ONE table: internal
-                           # row i = [lmin lmax rmin rmax pad...], leaf row
-                           # P-1+c = [p0 p1 p2] x K of chunk c. A traversal
-                           # step is then a single wide gather whether the
-                           # lane is at an internal node or a leaf.
-    perm: np.ndarray       # (T,) original-index of sorted triangle i
-    n_padded: int          # T rounded up to P * K
+    rows: np.ndarray       # (n_int + n_leaves, ROW_W) f32 unified table
+    src: np.ndarray        # (n_leaves*K,) i32: source tri index per padded
+                           # leaf-order row, -1 for padding
+    n_int: int             # internal row count (leaf chunk c = row n_int+c)
+    n_padded: int          # n_leaves * K
+    max_depth: int         # deepest internal chain (stack bound)
+
+
+def _surface_area(lo, hi):
+    d = np.maximum(hi - lo, 0.0)
+    return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+                  + d[..., 2] * d[..., 0])
+
+
+def _build_binary(tri_lo, tri_hi, cent, order, leaf_k):
+    """Binned-SAH binary BVH. Returns (nodes, leaves):
+    nodes: list of (lo, hi, left, right) with child refs ('n', i)/('l', j);
+    leaves: list of id arrays (each <= leaf_k source triangle indices)."""
+    nodes = []   # (lo, hi, left_ref, right_ref)
+    leaves = []
+
+    # explicit stack of (ids, slot_setter); build root iteratively
+    result_root = [None]
+
+    def setter_of(parent_idx, side):
+        def set_ref(ref):
+            lo, hi, l, r = nodes[parent_idx]
+            nodes[parent_idx] = (lo, hi, ref if side == 0 else l,
+                                 ref if side == 1 else r)
+        return set_ref
+
+    stack = [(order, (lambda ref: result_root.__setitem__(0, ref)), 0)]
+    while stack:
+        ids, set_ref, depth = stack.pop()
+        n = ids.shape[0]
+        if n <= leaf_k:
+            leaves.append(ids)
+            set_ref(("l", len(leaves) - 1))
+            continue
+
+        lo = tri_lo[ids].min(0)
+        hi = tri_hi[ids].max(0)
+        c = cent[ids]
+        clo = c.min(0)
+        chi = c.max(0)
+        ext = chi - clo
+        axis = int(np.argmax(ext))
+
+        split = None
+        if n >= _SAH_MIN and depth < _MAX_DEPTH and ext[axis] > 0:
+            # ---- binned SAH on the largest centroid axis (reference
+            # hlbvh.cu:636-813 build_upper_sah quality, 16 bins)
+            t = (c[:, axis] - clo[axis]) * (_SAH_BINS / ext[axis])
+            b = np.minimum(t.astype(np.int32), _SAH_BINS - 1)
+            counts = np.bincount(b, minlength=_SAH_BINS)
+            sort = np.argsort(b, kind="stable")
+            ids_sorted = ids[sort]
+            starts = np.zeros(_SAH_BINS, np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            nonempty = counts > 0
+            # reduceat needs strictly valid starts; compute on nonempty bins
+            ne_starts = starts[nonempty]
+            blo = np.full((_SAH_BINS, 3), np.inf, np.float64)
+            bhi = np.full((_SAH_BINS, 3), -np.inf, np.float64)
+            blo[nonempty] = np.minimum.reduceat(tri_lo[ids_sorted], ne_starts, axis=0)
+            bhi[nonempty] = np.maximum.reduceat(tri_hi[ids_sorted], ne_starts, axis=0)
+            # prefix/suffix bounds + counts over bins
+            plo = np.minimum.accumulate(blo, axis=0)
+            phi = np.maximum.accumulate(bhi, axis=0)
+            slo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+            shi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+            cl = np.cumsum(counts)
+            cr = n - cl
+            # split after bin i (i = 0.._SAH_BINS-2)
+            costs = np.where(
+                (cl[:-1] > 0) & (cr[:-1] > 0),
+                _surface_area(plo[:-1], phi[:-1]) * cl[:-1]
+                + _surface_area(slo[1:], shi[1:]) * cr[:-1],
+                np.inf,
+            )
+            best = int(np.argmin(costs))
+            if np.isfinite(costs[best]):
+                mid = int(cl[best])
+                split = (ids_sorted[:mid], ids_sorted[mid:])
+        if split is None:
+            # median of the current (morton / bin-sorted) order; for tiny or
+            # degenerate ranges this is the LBVH topology
+            if n >= _SAH_MIN and ext[axis] > 0:
+                sort = np.argsort(c[:, axis], kind="stable")
+                ids = ids[sort]
+            mid = n // 2
+            split = (ids[:mid], ids[mid:])
+
+        me = len(nodes)
+        nodes.append((lo.astype(np.float32), hi.astype(np.float32), None, None))
+        set_ref(("n", me))
+        stack.append((split[0], setter_of(me, 0), depth + 1))
+        stack.append((split[1], setter_of(me, 1), depth + 1))
+
+    return nodes, leaves, result_root[0]
+
+
+def _collapse_wide(nodes, leaves, root_ref, tri_lo, tri_hi, width):
+    """Collapse the binary tree into width-wide nodes (largest-area slot
+    expanded first). Returns (wide, order): wide = list of slot lists, each
+    slot = (lo, hi, ref) with ref ('w', wide_idx) or ('l', leaf_idx);
+    leaves re-emitted in DFS order for locality via `leaf_order`."""
+
+    def bounds_of(ref):
+        if ref[0] == "n":
+            lo, hi, _, _ = nodes[ref[1]]
+            return lo, hi
+        ids = leaves[ref[1]]
+        return tri_lo[ids].min(0).astype(np.float32), tri_hi[ids].max(0).astype(np.float32)
+
+    wide = []        # slot lists; refs into wide/leaf, patched below
+    leaf_order = []  # binary-leaf index per emitted chunk
+
+    def emit(ref):
+        """Emit the subtree at `ref` as a wide node; returns ('w', idx) or
+        ('l', chunk)."""
+        if ref[0] == "l":
+            leaf_order.append(ref[1])
+            return ("l", len(leaf_order) - 1)
+        # gather up to `width` slot refs by expanding the largest-area
+        # internal slot until full
+        slots = [ref]
+        while len(slots) < width:
+            best, best_area = -1, -1.0
+            for i, s in enumerate(slots):
+                if s[0] == "n":
+                    lo, hi, _, _ = nodes[s[1]]
+                    a = float(_surface_area(lo, hi))
+                    if a > best_area:
+                        best, best_area = i, a
+            if best < 0:
+                break
+            _, _, l, r = nodes[slots[best][1]]
+            slots[best: best + 1] = [l, r]
+        me = len(wide)
+        wide.append(None)
+        out = []
+        for s in slots:
+            lo, hi = bounds_of(s)
+            out.append((lo, hi, emit(s)))
+        wide[me] = out
+        return ("w", me)
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 100000))
+    try:
+        root = emit(root_ref)
+    finally:
+        sys.setrecursionlimit(old)
+    return wide, leaf_order, root
 
 
 def build_bvh(p0, p1, p2, leaf_k=LEAF_K):
-    """Build the implicit LBVH over triangles (T, 3)x3 -> BvhBuild.
+    """Build the SAH wide BVH over triangles (T, 3)x3 -> BvhBuild.
 
-    The caller must reorder all per-triangle scene columns by `perm` and pad
-    them to `n_padded` rows (degenerate rows: all three vertices equal never
-    pass the watertight test).
+    The caller must reorder all per-triangle scene columns into padded leaf
+    order via `src` (src[i] < 0 rows are degenerate never-hit padding).
     """
     T = p0.shape[0]
-    cent = (p0 + p1 + p2) / 3.0
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    p2 = np.asarray(p2, np.float32)
+    tri_lo = np.minimum(np.minimum(p0, p1), p2)
+    tri_hi = np.maximum(np.maximum(p0, p1), p2)
+    cent = 0.5 * (tri_lo + tri_hi)
+
+    # initial morton order: keeps median-fallback splits spatial and gives
+    # bin sorts a good secondary order (reference hlbvh.cu:229)
     lo = cent.min(0)
-    hi = cent.max(0)
-    extent = np.maximum(hi - lo, 1e-30)
-    # 10 bits per dimension (reference hlbvh.cu MORTON_SCALE 1<<10)
+    extent = np.maximum(cent.max(0) - lo, 1e-30)
     q = np.clip(((cent - lo) / extent) * 1023.0, 0.0, 1023.0).astype(np.uint32)
     codes = encode_morton3(q[:, 0], q[:, 1], q[:, 2])
-    perm = np.argsort(codes, kind="stable").astype(np.int32)
+    order = np.argsort(codes, kind="stable").astype(np.int64)
 
-    n_chunks = -(-T // leaf_k)
-    P = 1 << max(0, int(np.ceil(np.log2(max(n_chunks, 1)))))
-    n_padded = P * leaf_k
+    nodes, leaves, root_ref = _build_binary(tri_lo, tri_hi, cent, order, leaf_k)
+    wide, leaf_order, root = _collapse_wide(
+        nodes, leaves, root_ref, tri_lo, tri_hi, WIDTH
+    )
 
-    def pad(v):
-        out = np.zeros((n_padded, 3), np.float32)
-        out[:T] = v[perm]
-        return out
+    n_leaves = len(leaf_order)
+    n_padded = n_leaves * leaf_k
+    src = np.full(n_padded, -1, np.int32)
+    for chunk, bleaf in enumerate(leaf_order):
+        ids = leaves[bleaf]
+        src[chunk * leaf_k: chunk * leaf_k + ids.shape[0]] = ids
 
-    sp0, sp1, sp2 = pad(p0), pad(p1), pad(p2)
-    leaf_tris = np.concatenate([sp0, sp1, sp2], axis=1)          # (TP, 9)
-    leaf_tris = leaf_tris.reshape(P, leaf_k * 9).astype(np.float32)
-
+    row_w = max(6 * WIDTH + WIDTH, 9 * leaf_k)
     BIG = np.float32(3e38)
-    tri_lo = np.minimum(np.minimum(sp0, sp1), sp2)
-    tri_hi = np.maximum(np.maximum(sp0, sp1), sp2)
-    # padding rows get inverted boxes so they never enlarge a leaf; the slab
-    # test rejects inverted boxes explicitly
-    tri_lo[T:] = BIG
-    tri_hi[T:] = -BIG
 
-    n_nodes = 2 * P - 1
-    node_min = np.full((n_nodes, 3), BIG, np.float32)
-    node_max = np.full((n_nodes, 3), -BIG, np.float32)
-    node_min[P - 1:] = tri_lo.reshape(P, leaf_k, 3).min(1)
-    node_max[P - 1:] = tri_hi.reshape(P, leaf_k, 3).max(1)
-    level_start = P - 1
-    while level_start > 0:
-        parent_start = (level_start - 1) // 2
-        n_par = level_start - parent_start
-        kids_min = node_min[2 * parent_start + 1: 2 * parent_start + 1 + 2 * n_par]
-        kids_max = node_max[2 * parent_start + 1: 2 * parent_start + 1 + 2 * n_par]
-        node_min[parent_start:level_start] = np.minimum(
-            kids_min[0::2], kids_min[1::2]
-        )
-        node_max[parent_start:level_start] = np.maximum(
-            kids_max[0::2], kids_max[1::2]
-        )
-        level_start = parent_start
+    if not wide:
+        # single-leaf scene: no internal rows
+        n_int = 0
+        rows = np.zeros((n_leaves, row_w), np.float32)
+        max_depth = 1
+    else:
+        n_int = len(wide)
+        rows = np.zeros((n_int + n_leaves, row_w), np.float32)
+        # internal rows: 8x [lo hi] + 8 child ids (unified: leaf chunk c ->
+        # id n_int + c)
+        for i, slots in enumerate(wide):
+            r = rows[i]
+            r[0: 6 * WIDTH: 6] = BIG      # default: inverted boxes
+            r[3: 6 * WIDTH: 6] = -BIG
+            r[6 * WIDTH:] = -1.0
+            for s, (slo, shi, ref) in enumerate(slots):
+                r[s * 6: s * 6 + 3] = slo
+                r[s * 6 + 3: s * 6 + 6] = shi
+                cid = ref[1] if ref[0] == "w" else n_int + ref[1]
+                r[6 * WIDTH + s] = float(cid)
+        # depth of the wide tree (stack bound): longest internal chain
+        depth = np.ones(n_int, np.int32)
+        for i in range(n_int - 1, -1, -1):
+            d = 1
+            for _, _, ref in wide[i]:
+                if ref[0] == "w":
+                    d = max(d, 1 + depth[ref[1]])
+            depth[i] = d
+        max_depth = int(depth[0]) if n_int else 1
 
-    # pack both children's bounds into the parent row; unify with the leaf
-    # rows into one table so every traversal step is exactly one gather
-    n_int = P - 1
-    i = np.arange(n_int)
-    nodes = np.concatenate(
-        [
-            node_min[2 * i + 1], node_max[2 * i + 1],
-            node_min[2 * i + 2], node_max[2 * i + 2],
-        ],
-        axis=1,
-    ).astype(np.float32) if n_int else np.zeros((0, 12), np.float32)
-    W = max(12, leaf_k * 9)
-    rows = np.zeros((2 * P - 1, W), np.float32)
-    rows[:n_int, :12] = nodes
-    rows[n_int:, : leaf_k * 9] = leaf_tris
+    # leaf rows: K triangles, [p0 p1 p2] per triangle; padding rows keep
+    # all-zero vertices (degenerate, never pass the watertight test)
+    mask = src >= 0
+    si = np.maximum(src, 0)
+    tri9 = np.concatenate([p0[si], p1[si], p2[si]], axis=1)
+    tri9[~mask] = 0.0
+    rows[n_int:, : leaf_k * 9] = tri9.reshape(n_leaves, leaf_k * 9)
 
     return BvhBuild(
-        rows=rows,
-        perm=perm,
-        n_padded=n_padded,
+        rows=rows, src=src, n_int=n_int, n_padded=n_padded,
+        max_depth=max_depth,
     )
+
+
+def reorder_pad(build: BvhBuild, a, fill):
+    """Reorder a per-triangle column (T, ...) into padded leaf order."""
+    a = np.asarray(a)
+    out = np.full((build.n_padded,) + a.shape[1:], fill, a.dtype)
+    mask = build.src >= 0
+    out[mask] = a[build.src[mask]]
+    return out
 
 
 # --------------------------------------------------------------- traversal
@@ -161,125 +333,119 @@ def _safe_inv(d):
     return jnp.where(d < 0, -1.0, 1.0) / mag
 
 
-def _slab(o, inv_d, nmin, nmax, t_best):
-    """Robust AABB slab test (reference Bounds3f::fast_intersect used at
-    hlbvh.cu:429,485). Returns (t_near, hit)."""
-    t0 = (nmin - o) * inv_d
-    t1 = (nmax - o) * inv_d
+def _slab8(o, inv_d, boxes, t_best):
+    """Slab test of each lane's 8 gathered child boxes (reference
+    Bounds3f::fast_intersect used at hlbvh.cu:429,485).
+
+    o, inv_d: (R, 3); boxes: (R, 8, 6) [lo hi]; t_best: (R,).
+    Returns (t_near (R, 8), hit (R, 8))."""
+    nmin = boxes[..., 0:3]
+    nmax = boxes[..., 3:6]
+    t0 = (nmin - o[:, None, :]) * inv_d[:, None, :]
+    t1 = (nmax - o[:, None, :]) * inv_d[:, None, :]
     tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
     tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
     tf = tf * (1.0 + 2.0 * gamma(3))
     tn = jnp.maximum(tn, 0.0)
-    # the per-axis min/max swap would silently "repair" an INVERTED (empty
-    # padding) box, sending every ray through every fake subtree — reject
-    # them explicitly (padding inverts all axes; one is enough to test)
+    # empty slots carry INVERTED boxes; the per-axis min/max swap would
+    # silently "repair" them, so reject explicitly (one axis is enough)
     nonempty = nmin[..., 0] <= nmax[..., 0]
-    hit = nonempty & (tn <= tf) & (tf > 0.0) & (tn < t_best)
+    hit = nonempty & (tn <= tf) & (tf > 0.0) & (tn < t_best[:, None])
     return tn, hit
 
 
 _DONE = jnp.int32(-1)
+_FRESH = 255  # child bitmask of a first visit
 
 
 class _St(NamedTuple):
-    cur: jnp.ndarray      # (R,) node id or _DONE
+    cur: jnp.ndarray      # (R,) packed node_id*256+mask, or _DONE
     sp: jnp.ndarray       # (R,) stack pointer
-    stack: jnp.ndarray    # (R, depth)
+    stack: jnp.ndarray    # (R, SD) packed entries
     t_best: jnp.ndarray   # (R,)
     prim: jnp.ndarray     # (R,)
     it: jnp.ndarray       # () iteration counter (stage cap / safety bound)
 
 
-def _traverse(rows, leaf_k, o, d, t_max, any_hit=False):
-    """Stack-based traversal over the implicit tree.
+def make_cond(cap):
+    def cond(st):
+        return jnp.any(st.cur != _DONE) & (st.it < cap)
+    return cond
 
-    rows: (2P-1, max(12, K*9)) unified node/leaf table.  o, d: (R, 3);
-    t_max: (R,). Returns (t (R,), prim (R,) i32, -1 on miss). Discrete only
-    — call intersect_tri_lanes on the winner for the differentiable record.
-    """
-    n_nodes = rows.shape[0]
-    P = (n_nodes + 1) // 2
-    n_int = P - 1
+
+def make_stepper(rows, n_int, leaf_k, SD, any_hit=False):
+    """Build the traversal body factory for a given tree. Returns
+    `make_ctx(o, d) -> body`; exposed at module level so tools/probe_bvh.py
+    can instrument single iterations."""
+    n_rows = rows.shape[0]
+    P = n_rows - n_int
     K = leaf_k
-    depth = max(1, int(np.log2(P)) + 1)
-    R = o.shape[0]
 
-    # the whole traversal is non-differentiable (discrete hit id); detach
-    # every input so AD never tries to transpose the while_loop
-    o = jax.lax.stop_gradient(o)
-    d = jax.lax.stop_gradient(d)
-    t_max = jax.lax.stop_gradient(t_max)
-    rows = jax.lax.stop_gradient(rows)
+    slot_ids = jnp.arange(SD, dtype=jnp.int32)
+    bits = (1 << jnp.arange(WIDTH, dtype=jnp.int32))[None, :]      # (1, 8)
 
-    inv_d = _safe_inv(d)
+    def make_body(o, d, inv_d, shear):
+        kz, sx, sy, sz = shear
 
-    st = _St(
-        cur=jnp.zeros((R,), jnp.int32),  # start at the root (internal)
-        sp=jnp.zeros((R,), jnp.int32),
-        stack=jnp.zeros((R, depth), jnp.int32),
-        t_best=t_max,
-        prim=jnp.full((R,), -1, jnp.int32),
-        it=jnp.int32(0),
-    )
-
-    slot_ids = jnp.arange(depth, dtype=jnp.int32)
-    # a single ray visits each node at most once; anything past 2 * #nodes
-    # is a traversal bug — terminate rather than wedge the chip's watchdog
-    max_iters = jnp.int32(2 * (2 * P - 1) + 8)
-
-    def make_cond(cap):
-        def cond(st):
-            return jnp.any(st.cur != _DONE) & (st.it < cap)
-        return cond
-
-    def make_body(o, d, inv_d):
         def body(st):
             live = st.cur != _DONE
-            cur = jnp.maximum(st.cur, 0)
-            is_leaf = live & (cur >= n_int)
+            curp = jnp.maximum(st.cur, 0)
+            nid = curp >> 8
+            mask = curp & 255
+            is_leaf = live & (nid >= n_int)
 
-            # ---- ONE gather serves both cases: internal bounds or leaf tris
-            row = rows[cur]                              # (R, W)
+            # ---- ONE gather serves both cases: internal row or leaf tris
+            row = rows[nid]                              # (R, ROW_W)
             t_best, prim = st.t_best, st.prim
-            chunk = jnp.clip(cur - n_int, 0, P - 1)
+            chunk = jnp.clip(nid - n_int, 0, max(P - 1, 0))
             for k in range(K):
                 p0 = row[:, k * 9: k * 9 + 3]
                 p1 = row[:, k * 9 + 3: k * 9 + 6]
                 p2 = row[:, k * 9 + 6: k * 9 + 9]
-                t_k, _, hit_k = ix.intersect_tri_lanes(o, d, t_best, p0, p1, p2)
+                t_k, _, hit_k = ix.intersect_tri_lanes_presheared(
+                    o, kz, sx, sy, sz, t_best, p0, p1, p2
+                )
                 better = is_leaf & hit_k & (t_k < t_best)
                 t_best = jnp.where(better, t_k, t_best)
                 prim = jnp.where(better, chunk * K + k, prim)
 
             found = prim >= 0
 
-            # ---- internal: the same row holds both children's bounds
-            tn_l, hit_l = _slab(o, inv_d, row[:, 0:3], row[:, 3:6], t_best)
-            tn_r, hit_r = _slab(o, inv_d, row[:, 6:9], row[:, 9:12], t_best)
-            l = 2 * cur + 1
-            r = l + 1
+            # ---- internal: 8 slab tests from the same row
             is_int = live & ~is_leaf
-            hit_l &= is_int
-            hit_r &= is_int
-            l_near = tn_l <= tn_r
-            near = jnp.where(l_near, l, r)
-            far = jnp.where(l_near, r, l)
-            hit_near = jnp.where(l_near, hit_l, hit_r)
-            hit_far = jnp.where(l_near, hit_r, hit_l)
-            both = hit_near & hit_far
+            boxes = row[:, : 6 * WIDTH].reshape(row.shape[0], WIDTH, 6)
+            child = row[:, 6 * WIDTH: 7 * WIDTH].astype(jnp.int32)  # (R, 8)
+            tn, hit = _slab8(o, inv_d, boxes, t_best)
+            hit &= is_int[:, None] & (child >= 0) & ((mask[:, None] & bits) > 0)
 
-            # push far where both children hit (per-lane one-hot scatter)
+            tn_m = jnp.where(hit, tn, INFINITY)
+            best_slot = jnp.argmin(tn_m, axis=-1)                    # (R,)
+            onehot = slot8 = (jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
+                              == best_slot[:, None])
+            # per-lane child gather as one-hot contraction (scalar-unit
+            # gathers are poison, PROFILE §2)
+            near_child = jnp.sum(jnp.where(onehot & hit, child, 0), axis=-1)
+            any_child = jnp.any(hit, axis=-1)
+
+            remaining = hit & ~onehot
+            n_rem = jnp.sum(remaining.astype(jnp.int32), axis=-1)
+            rem_bits = jnp.sum(jnp.where(remaining, bits, 0), axis=-1)
+            single = jnp.sum(jnp.where(remaining, child, 0), axis=-1)
+            # c==2 survivors: push the sibling directly (no revisit);
+            # c>=3: push (node, remaining-mask) and re-cull on pop
+            push_val = jnp.where(
+                n_rem == 1, single * 256 + _FRESH, nid * 256 + rem_bits
+            )
+            do_push = is_int & (n_rem >= 1)
             stack = jnp.where(
-                (slot_ids[None, :] == st.sp[:, None]) & both[:, None],
-                far[:, None],
+                (slot_ids[None, :] == st.sp[:, None]) & do_push[:, None],
+                push_val[:, None],
                 st.stack,
             )
-            sp = st.sp + both.astype(jnp.int32)
+            sp = st.sp + do_push.astype(jnp.int32)
 
             # next node: descend if any child hit, else pop
-            descend = hit_near | hit_far
-            go = jnp.where(hit_near, near, far)
-            need_pop = live & (is_leaf | ~descend)
+            need_pop = live & (is_leaf | ~any_child)
             if any_hit:
                 # terminated lanes (shadow hit found) never pop again
                 need_pop &= ~found
@@ -291,8 +457,8 @@ def _traverse(rows, leaf_k, o, d, t_max, any_hit=False):
                 jnp.where(slot_ids[None, :] == sp_pop[:, None], stack, 0), axis=1
             )
             cur_next = jnp.where(
-                is_int & descend,
-                go,
+                is_int & any_child,
+                near_child * 256 + _FRESH,
                 jnp.where(can_pop, popped, _DONE),
             )
             if any_hit:
@@ -304,16 +470,59 @@ def _traverse(rows, leaf_k, o, d, t_max, any_hit=False):
                        prim=prim, it=st.it + 1)
         return body
 
-    body = make_body(o, d, inv_d)
+    def make_ctx(o, d):
+        inv_d = _safe_inv(d)
+        shear = ix.ray_shear(d)
+        return make_body(o, d, inv_d, shear)
 
-    # ---- staged traversal. Masked-dense execution is gated by the WORST
-    # lane (a silhouette-grazing ray visits O(sqrt(T)) leaf cells; measured
-    # live-lane decay on cornell-mesh at 16k rays: 16k -> 2.4k @32 iters ->
-    # 770 @48 -> 546 @96 -> 144 @256 -> ~0 @ a few thousand). Each stage
-    # compacts the survivors into a buffer 8x narrower, so tail iterations
-    # run at a fraction of the width; a final chunked DENSE sweep of the
-    # soup finishes the extreme tail exactly.
-    cap1 = jnp.int32(4 * depth)
+    return make_ctx
+
+
+def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False):
+    """Wide-BVH traversal over the unified row table.
+
+    rows: (n_int + P, ROW_W); o, d: (R, 3); t_max: (R,). Returns
+    (t (R,), prim (R,) i32, -1 on miss). Discrete only — call
+    intersect_tri_lanes on the winner for the differentiable record.
+    """
+    n_rows = rows.shape[0]
+    P = n_rows - n_int
+    K = leaf_k
+    R = o.shape[0]
+    SD = stack_depth + 2
+
+    # the whole traversal is non-differentiable (discrete hit id); detach
+    # every input so AD never tries to transpose the while_loop
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    t_max = jax.lax.stop_gradient(t_max)
+    rows = jax.lax.stop_gradient(rows)
+
+    # each (node, child-subset) pair is visited at most once; anything past
+    # this is a traversal bug — terminate rather than wedge the watchdog
+    max_iters = jnp.int32(4 * n_rows + 16)
+
+    make_ctx = make_stepper(rows, n_int, leaf_k, SD, any_hit=any_hit)
+    body = make_ctx(o, d)
+
+    st = _St(
+        cur=jnp.full((R,), _FRESH, jnp.int32),  # root (id 0) fresh
+        sp=jnp.zeros((R,), jnp.int32),
+        stack=jnp.zeros((R, SD), jnp.int32),
+        t_best=t_max,
+        prim=jnp.full((R,), -1, jnp.int32),
+        it=jnp.int32(0),
+    )
+
+    # ---- staged traversal (PROFILE §3): masked-dense execution is gated by
+    # the WORST lane, so run a capped full-width stage then compact
+    # survivors into geometrically narrower buffers. A rung whose buffer
+    # holds no unfinished lanes exits its while_loop after ZERO iterations.
+    # Measured decay on cornell-mesh (tools/probe_bvh.py iters, SAH BVH8):
+    # mean 7.3 iters, 4% live after 8, 1.4% after 128, ~0 after ~12x L_est —
+    # the tail is silhouette-grazing rays crossing O(sqrt(T)/K) leaf cells.
+    L_est = int(np.sqrt(max(P * K, 1))) // max(K, 1) + stack_depth
+    cap1 = jnp.int32(stack_depth + 4)
     st = jax.lax.while_loop(make_cond(cap1), body, st)
 
     def compact(st, R_T):
@@ -369,29 +578,21 @@ def _traverse(rows, leaf_k, o, d, t_max, any_hit=False):
             cur=jnp.where(live2, _DONE, sub.cur),
         )
 
-    # ---- compaction ladder: survivors continue in geometrically narrower
-    # buffers. A rung whose buffer holds no unfinished lanes exits its
-    # while_loop after ZERO iterations, so generous rungs cost only the
-    # (R,)-key argsort. Caps scale with tree depth; the final rung is an
-    # exact chunked DENSE sweep sized so its tri-test budget stays ~3e8
-    # regardless of scene size.
-    ladder = [(2, 8), (8, 16), (32, 32), (128, 64)]
-    o_c, d_c, inv_c, cur_sel = o, d, inv_d, None
+    ladder = [(4, L_est), (16, 3 * L_est), (64, 8 * L_est)]
+    o_c, d_c = o, d
     frames = []  # (sel, outer_state) to scatter back through
     sub = st
-    for divisor, capmul in ladder:
+    for divisor, cap in ladder:
         R_T = R // divisor
         if R_T < 64 or R_T >= sub.cur.shape[0]:
             continue
         sel, nxt = compact(sub, R_T)
         frames.append((sel, sub))
-        o_c, d_c, inv_c = o_c[sel], d_c[sel], inv_c[sel]
-        body_c = make_body(o_c, d_c, inv_c)
-        sub = jax.lax.while_loop(
-            make_cond(jnp.int32(capmul * depth)), body_c, nxt
-        )
+        o_c, d_c = o_c[sel], d_c[sel]
+        body_c = make_ctx(o_c, d_c)
+        sub = jax.lax.while_loop(make_cond(jnp.int32(cap)), body_c, nxt)
     # exact dense finish for whatever remains, budgeted by scene size
-    X = max(128, min(sub.cur.shape[0], int(3e8 // max(P * K, 1))))
+    X = max(128, min(sub.cur.shape[0], int(3e7 // max(P * K, 1))))
     if X < sub.cur.shape[0]:
         sel, nxt = compact(sub, X)
         frames.append((sel, sub))
@@ -409,6 +610,12 @@ def _traverse(rows, leaf_k, o, d, t_max, any_hit=False):
     return st.t_best, st.prim
 
 
+def _scene_tree(scene):
+    """(rows, n_int, stack_depth) from the compiled scene arrays; the two
+    zero-byte marker arrays carry the static ints in their shapes."""
+    return (scene.bvh_rows, scene.bvh_nint.shape[0], scene.bvh_depth.shape[0])
+
+
 def closest_hit_tris(scene, o, d, t_max):
     """BVH closest hit -> TriHit (same contract as intersect_tris_dense).
 
@@ -416,9 +623,8 @@ def closest_hit_tris(scene, o, d, t_max):
     triangle; prim indexes the LEAF-ORDERED triangle arrays (scene columns
     are already stored in that order by the compiler).
     """
-    t_disc, prim = _traverse(
-        scene.bvh_rows, LEAF_K, o, d, t_max,
-    )
+    rows, n_int, depth = _scene_tree(scene)
+    t_disc, prim = _traverse(rows, n_int, depth, LEAF_K, o, d, t_max)
     found = prim >= 0
     pc = jnp.maximum(prim, 0)
     # differentiable refit against the winner (tri_p0/p1/p2 carry gradients)
@@ -435,7 +641,6 @@ def closest_hit_tris(scene, o, d, t_max):
 
 def any_hit_tris(scene, o, d, t_max):
     """BVH shadow query: True where some triangle blocks (R,)."""
-    _, prim = _traverse(
-        scene.bvh_rows, LEAF_K, o, d, t_max, any_hit=True,
-    )
+    rows, n_int, depth = _scene_tree(scene)
+    _, prim = _traverse(rows, n_int, depth, LEAF_K, o, d, t_max, any_hit=True)
     return prim >= 0

@@ -150,6 +150,27 @@ def intersect_tri_block(o, d, t_max, p0, p1, p2):
     )
 
 
+def ray_shear(d):
+    """Public per-ray shear transform for loop-hoisting: the BVH traversal
+    computes (kz, sx, sy, sz) ONCE per ray (d is loop-invariant) instead of
+    per leaf visit. Returns (kz, sx, sy, sz), each (...,)."""
+    return _ray_shear(d)
+
+
+def intersect_tri_lanes_presheared(o, kz, sx, sy, sz, t_max, p0, p1, p2):
+    """Per-lane watertight test with a precomputed ray shear (see ray_shear).
+
+    o, p0, p1, p2: (R, 3); kz/sx/sy/sz/t_max: (R,). Returns (t, bary, hit).
+    This is the BVH leaf kernel: the shear constants are hoisted out of the
+    traversal loop, so a leaf test is only translate + permute + edges.
+    """
+
+    def prep(pv):
+        return jnp.stack(_permute_by_kz(pv - o, kz), axis=-1)
+
+    return _watertight_core(prep(p0), prep(p1), prep(p2), sx, sy, sz, t_max)
+
+
 def intersect_tri_lanes(o, d, t_max, p0, p1, p2):
     """Per-lane watertight test: ray i against triangle i.
 

@@ -128,7 +128,8 @@ def compute_transmittance(scene, p0, ng0, wi, p1, medium0, eps_scale, lam, max_h
 
 
 def sample_ld(scene, hit: dispatch.SceneHit, bsdf, u_light, u2, eps_scale,
-              medium=None, in_medium=None, u_phase=None, volumetric=False):
+              medium=None, in_medium=None, u_phase=None, volumetric=False,
+              mask=None):
     """Direct lighting with MIS (reference sample_Ld_volume,
     megakernel_path.cu:186-264). Surface lanes evaluate the BSDF; medium
     lanes (in_medium mask) use the HG phase function exactly like the
@@ -169,7 +170,12 @@ def sample_ld(scene, hit: dispatch.SceneHit, bsdf, u_light, u2, eps_scale,
     else:
         o_sh = offset_ray_origin(hit.p, hit.ng, ls.wi, eps_scale)
         dist = vm.distance(o_sh, ls.p_light)
-        visible = ~dispatch.occluded(scene, o_sh, ls.wi, dist * (1.0 - 1e-3))
+        # lanes not running NEE this bounce get t_max = 0: the shadow-ray
+        # BVH walk fails the root slab immediately (worst-LIVE-lane gating)
+        t_sh = dist * (1.0 - 1e-3)
+        if mask is not None:
+            t_sh = jnp.where(mask, t_sh, 0.0)
+        visible = ~dispatch.occluded(scene, o_sh, ls.wi, t_sh)
         contrib = f * ls.L / jnp.maximum(pdf_light, 1e-20)[..., None]
         pdf_dir = pdf_bsdf
     w = jnp.where(
@@ -211,9 +217,12 @@ def bounce_step(scene, state: PathState, regularize=False, skind="independent", 
     active = active & ~killed
     rr_next = jnp.where(rr_due, state.rr_next + 1.0, state.rr_next)
 
-    # --- intersect (honest ray accounting: only live lanes trace)
+    # --- intersect (honest ray accounting: only live lanes trace).
+    # Dead lanes get t_max = 0 so BVH traversal fails the root slab and
+    # finishes in ONE iteration instead of re-walking the tree — the
+    # masked-dense loop is gated by the worst LIVE lane only.
     n_closest = state.n_closest + jnp.sum(active.astype(jnp.float32))
-    t_max = jnp.full(state.o.shape[:1], INFINITY)
+    t_max = jnp.where(active, INFINITY, 0.0)
     hit = dispatch.intersect(scene, state.o, state.d, t_max)
     t_hit = jnp.where(hit.valid, hit.t, INFINITY)
 
@@ -350,6 +359,7 @@ def bounce_step(scene, state: PathState, regularize=False, skind="independent", 
             in_medium=med_scatter if has_media else None,
             u_phase=u_phase,
             volumetric=volumetric,
+            mask=nee_any,
         )
         L = jnp.where(nee_any[..., None], L + beta * ld, L)
         n_shadow = state.n_shadow + jnp.sum(nee_any.astype(jnp.float32))

@@ -141,6 +141,10 @@ class SceneBuilder:
         self.state = GraphicsState()
         self.stack = []
         self.in_world = False
+        # file lookups resolve relative to the .pbrt's directory once
+        # parse_file runs; token-string parses resolve from cwd (absolute
+        # paths pass through os.path.join unchanged)
+        self._search_dir = "."
 
         # outputs
         self.materials = [MaterialSpec(type=MAT_DIFFUSE, reflectance_rgb=np.array([0.5, 0.5, 0.5]))]

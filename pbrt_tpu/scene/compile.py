@@ -38,9 +38,12 @@ class SceneArrays(NamedTuple):
     tri_mat: jnp.ndarray
     tri_light: jnp.ndarray
     tri_rev: jnp.ndarray
-    # BVH over triangles (accel/bvh.py): implicit complete binary tree
-    # bounds; (0, 3) when the scene is small enough for the dense kernel
-    bvh_rows: jnp.ndarray        # (2P-1, max(12, K*9)) unified node/leaf table
+    # BVH over triangles (accel/bvh.py): SAH-built 8-wide tree; empty rows
+    # when the scene is small enough for the dense kernel
+    bvh_rows: jnp.ndarray        # (n_int + P, ROW_W) unified node/leaf table
+    bvh_nint: jnp.ndarray        # (n_int, 0) zero-byte shape marker: the
+                                 # internal-row count as a STATIC value
+    bvh_depth: jnp.ndarray       # (max_depth, 0) zero-byte shape marker
     tri_rec: jnp.ndarray         # (T, 24) f32 packed per-tri hit record
                                  # [n0 n1 n2 uv0 uv1 uv2 mat light rev has_n
                                  #  med_in med_out] (BVH scenes only; ids as
@@ -245,12 +248,11 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         bvh = bvhlib.build_bvh(tp[:, 0], tp[:, 1], tp[:, 2])
         n_pad = int(bvh.n_padded)
         tri_newpos = np.empty(T, np.int32)
-        tri_newpos[bvh.perm] = np.arange(T, dtype=np.int32)
+        live = bvh.src >= 0
+        tri_newpos[bvh.src[live]] = np.nonzero(live)[0].astype(np.int32)
 
         def reorder_pad(a, fill):
-            out = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
-            out[:T] = a[bvh.perm]
-            return out
+            return bvhlib.reorder_pad(bvh, a, fill)
 
         tp = reorder_pad(tp, 0.0)
         tn = reorder_pad(tn, 0.0)
@@ -261,6 +263,8 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         tri_rev = reorder_pad(tri_rev, False)
         tri_med_arr = reorder_pad(tri_med_arr, -1)
         bvh_rows = bvh.rows
+        bvh_nint = np.zeros((bvh.n_int, 0), np.float32)
+        bvh_depth = np.zeros((bvh.max_depth, 0), np.float32)
         # one wide row per triangle for hit-record assembly: a single gather
         # instead of ~14 (gathers cost per ROW on TPU, width nearly free)
         tri_rec = np.concatenate(
@@ -276,7 +280,9 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
             axis=1,
         )
     else:
-        bvh_rows = np.zeros((0, max(12, 9 * bvhlib.LEAF_K)), np.float32)
+        bvh_rows = np.zeros((0, bvhlib.ROW_W), np.float32)
+        bvh_nint = np.zeros((0, 0), np.float32)
+        bvh_depth = np.zeros((0, 0), np.float32)
         tri_rec = np.zeros((0, 24), np.float32)
 
     # ---- spheres
@@ -537,6 +543,8 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         tri_light=jnp.asarray(tri_light),
         tri_rev=jnp.asarray(tri_rev),
         bvh_rows=jnp.asarray(bvh_rows),
+        bvh_nint=jnp.asarray(bvh_nint),
+        bvh_depth=jnp.asarray(bvh_depth),
         tri_rec=jnp.asarray(tri_rec),
         sph_center=jnp.asarray(sph_center, jnp.float32),
         sph_radius=jnp.asarray(sph_radius, jnp.float32),

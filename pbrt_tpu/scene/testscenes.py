@@ -111,6 +111,82 @@ def cornell_mesh(res=128, spp=4, levels=5, integrator=None):
     return compile_scene(b, spp_override=spp, integrator_override=integrator)
 
 
+def terrain_ply_path(n=256, cache_dir=None):
+    """Write (once) and return a binary-little-endian PLY of an (n x n)
+    sine-displaced height-field grid — 2*(n-1)^2 triangles (n=256 ->
+    130,050). Exercises the PLY loader (scene/ply.py, reference
+    tri_quad_mesh.cu:9-70) at staircase-class scale (BASELINE.md #2)."""
+    import os
+    import struct
+
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "pbrt_tpu_scenes"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"terrain_{n}.ply")
+    if os.path.exists(path):
+        return path
+
+    import numpy as np
+
+    xs = np.linspace(0.0, 100.0, n, dtype=np.float32)
+    zs = np.linspace(0.0, 100.0, n, dtype=np.float32)
+    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    Y = (
+        6.0 * np.sin(X * 0.11) * np.cos(Z * 0.13)
+        + 2.5 * np.sin(X * 0.31 + 1.0) * np.sin(Z * 0.27)
+        + 1.2 * np.cos(X * 0.83) * np.cos(Z * 0.71 + 0.5)
+    ).astype(np.float32)
+    V = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    i = np.arange(n * n).reshape(n, n)
+    a, b, c, d = i[:-1, :-1], i[1:, :-1], i[1:, 1:], i[:-1, 1:]
+    F = np.concatenate(
+        [np.stack([a, b, c], -1).reshape(-1, 3),
+         np.stack([a, c, d], -1).reshape(-1, 3)]
+    ).astype(np.int32)
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(
+            b"ply\nformat binary_little_endian 1.0\n"
+            + f"element vertex {V.shape[0]}\n".encode()
+            + b"property float x\nproperty float y\nproperty float z\n"
+            + f"element face {F.shape[0]}\n".encode()
+            + b"property list uchar int vertex_indices\nend_header\n"
+        )
+        fh.write(V.astype("<f4").tobytes())
+        counts = np.full((F.shape[0], 1), 3, np.uint8)
+        rows = np.zeros(F.shape[0], dtype=[("n", "u1"), ("v", "<i4", 3)])
+        rows["n"] = counts[:, 0]
+        rows["v"] = F
+        fh.write(rows.tobytes())
+    os.replace(tmp, path)
+    return path
+
+
+def terrain(res=256, spp=4, n=256, integrator=None):
+    """-> (SceneArrays, SceneMeta): sun+sky over a 130k-triangle PLY
+    height field — the large-mesh BVH benchmark scene."""
+    ply = terrain_ply_path(n=n)
+    txt = f"""
+Integrator "path" "integer maxdepth" [5]
+Sampler "independent" "integer pixelsamples" [{spp}]
+Film "rgb" "integer xresolution" [{res}] "integer yresolution" [{res}]
+    "string filename" ["terrain.png"]
+LookAt 50 40 -55   50 2 55   0 1 0
+Camera "perspective" "float fov" [48]
+WorldBegin
+LightSource "infinite" "rgb L" [0.25 0.32 0.45]
+LightSource "distant" "point3 from" [30 80 -20] "point3 to" [50 0 50]
+    "rgb L" [2.5 2.3 2.0]
+Material "diffuse" "rgb reflectance" [0.42 0.36 0.28]
+Shape "plymesh" "string filename" ["{ply}"]
+"""
+    b = bd.SceneBuilder()
+    b.parse_tokens(lx.tokenize(txt))
+    return compile_scene(b, spp_override=spp, integrator_override=integrator)
+
+
 def cornell_builder(res=128, spp=4):
     b = bd.SceneBuilder()
     b.parse_tokens(lx.tokenize(CORNELL_PBRT))

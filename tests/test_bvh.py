@@ -21,19 +21,17 @@ def _soup(rng, T, spread=10.0, size=0.7):
 
 def _scene_of(p0, p1, p2):
     build = bvhlib.build_bvh(p0, p1, p2)
-    n_pad = int(build.n_padded)
-    T = p0.shape[0]
 
     def pad(v):
-        out = np.zeros((n_pad, 3), np.float32)
-        out[:T] = v[build.perm]
-        return out
+        return bvhlib.reorder_pad(build, v, 0.0)
 
     return SimpleNamespace(
         tri_p0=jnp.asarray(pad(p0)),
         tri_p1=jnp.asarray(pad(p1)),
         tri_p2=jnp.asarray(pad(p2)),
         bvh_rows=jnp.asarray(build.rows),
+        bvh_nint=jnp.zeros((build.n_int, 0)),
+        bvh_depth=jnp.zeros((build.max_depth, 0)),
     )
 
 

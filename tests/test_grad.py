@@ -63,7 +63,7 @@ def test_camera_pose_grad_matches_fd():
     b.film["xresolution"] = b.film["yresolution"] = 16
     scene, meta = compile_scene(b, spp_override=1)
     params = train.get_params(scene)
-    f = jax.jit(lambda p: _loss_fn(scene, p, max_depth=2))
+    f = lambda p: _loss_fn(scene, p, max_depth=2)  # inner jit caches
     g = np.asarray(
         jax.grad(lambda p: _loss_fn(scene, p, max_depth=2))(params).cam_pose
     )
@@ -114,7 +114,7 @@ def test_texture_texel_grads(tmp_path):
     b = bd.SceneBuilder().parse_file(str(p))
     scene, meta = compile_scene(b)
     params = train.get_params(scene)
-    f = jax.jit(lambda pp: _loss_fn(scene, pp, res=12, max_depth=2))
+    f = lambda pp: _loss_fn(scene, pp, res=12, max_depth=2)  # inner jit caches
     g = np.asarray(jax.grad(lambda pp: _loss_fn(scene, pp, res=12, max_depth=2))(params).tex_data)
     assert np.isfinite(g).all()
     assert np.abs(g).sum() > 0.0, "texture texel gradient is dead"
@@ -134,7 +134,7 @@ def test_lt_scale_grad_matches_fd(small):
     must agree closely (same RNG stream on both sides)."""
     scene, meta = small
     params = train.get_params(scene)
-    f = jax.jit(lambda p: _loss_fn(scene, p))
+    f = lambda p: _loss_fn(scene, p)  # inner jit caches
     g = jax.grad(lambda p: _loss_fn(scene, p))(params).lt_scale
 
     eps = 1e-3
@@ -150,7 +150,7 @@ def test_lt_scale_grad_matches_fd(small):
 def test_albedo_grad_matches_fd(small):
     scene, meta = small
     params = train.get_params(scene)
-    f = jax.jit(lambda p: _loss_fn(scene, p))
+    f = lambda p: _loss_fn(scene, p)  # inner jit caches
     g = jax.grad(lambda p: _loss_fn(scene, p))(params).mat_refl_c
 
     gnp = np.asarray(g)
