@@ -76,11 +76,17 @@ def bench_config(name, make_scene):
 
 
 def main():
-    bench_config("cornell-box", lambda: testscenes.cornell(res=RES, spp=SPP))
-    bench_config(
-        "cornell-mesh", lambda: testscenes.cornell_mesh(res=RES, spp=SPP, levels=5)
-    )
-    bench_config("terrain-ply", lambda: testscenes.terrain(res=RES, spp=SPP))
+    import sys
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    configs = [
+        ("cornell-box", lambda: testscenes.cornell(res=RES, spp=SPP)),
+        ("cornell-mesh",
+         lambda: testscenes.cornell_mesh(res=RES, spp=SPP, levels=5)),
+        ("terrain-ply", lambda: testscenes.terrain(res=RES, spp=SPP)),
+    ]
+    for name, make in configs:
+        if only is None or only in name:
+            bench_config(name, make)
 
 
 if __name__ == "__main__":

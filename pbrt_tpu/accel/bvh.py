@@ -83,16 +83,40 @@ class BvhBuild(NamedTuple):
     max_depth: int         # deepest internal chain (stack bound)
 
 
+class Bvh2Build(NamedTuple):
+    """Two-level (TLAS + per-prototype BLAS) build result (reference keeps a
+    sub-BVH per ObjectBegin definition wrapped in a TransformedPrimitive,
+    scene_builder.cu:70-90,809-876 + primitives/transformed_primitive.h:7-33).
+
+    Unified row table layout: [internal | instance | leaf] — row type is a
+    range check on the id, so traversal stays one gather per step. Instance
+    row: [w2o 3x4 row-major (12) | blas_root id | instance id | 0...].
+    """
+
+    rows: np.ndarray       # (n_int + n_inst + n_leaves, ROW_W)
+    src: np.ndarray        # (n_leaves*K,) i32 into the CONCATENATED source
+                           # soup [static tris | proto0 tris | proto1 ...]
+    n_int: int
+    n_inst: int
+    n_padded: int
+    max_depth: int         # top depth + max BLAS depth + restore margin
+    iter_bound: int        # safety-loop bound (sum of per-tree bounds)
+
+
 def _surface_area(lo, hi):
     d = np.maximum(hi - lo, 0.0)
     return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
                   + d[..., 2] * d[..., 0])
 
 
-def _build_binary(tri_lo, tri_hi, cent, order, leaf_k):
-    """Binned-SAH binary BVH. Returns (nodes, leaves):
-    nodes: list of (lo, hi, left, right) with child refs ('n', i)/('l', j);
-    leaves: list of id arrays (each <= leaf_k source triangle indices)."""
+def _build_binary(tri_lo, tri_hi, cent, order, leaf_k, big_from=None):
+    """Binned-SAH binary BVH. Returns (nodes, leaves, root):
+    nodes: list of (lo, hi, left, right) with child refs ('n', i)/('l', j)/
+    ('i', prim_id); leaves: list of id arrays (each <= leaf_k source ids).
+
+    Ids >= `big_from` are "big" primitives (instances): they always become
+    SINGLETON ('i', id) leaves — a range containing one is force-split until
+    the instance is alone, so triangle leaf chunks stay homogeneous."""
     nodes = []   # (lo, hi, left_ref, right_ref)
     leaves = []
 
@@ -110,9 +134,28 @@ def _build_binary(tri_lo, tri_hi, cent, order, leaf_k):
     while stack:
         ids, set_ref, depth = stack.pop()
         n = ids.shape[0]
-        if n <= leaf_k:
+        has_big = big_from is not None and bool(np.any(ids >= big_from))
+        if n == 1 and has_big:
+            set_ref(("i", int(ids[0])))
+            continue
+        if n <= leaf_k and not has_big:
             leaves.append(ids)
             set_ref(("l", len(leaves) - 1))
+            continue
+        if n <= leaf_k and has_big:
+            # force-split mixed/instance ranges down to singleton instances
+            c_ax = cent[ids]
+            axis0 = int(np.argmax(c_ax.max(0) - c_ax.min(0)))
+            s = np.argsort(c_ax[:, axis0], kind="stable")
+            ids = ids[s]
+            mid = max(1, n // 2)
+            me = len(nodes)
+            lo = tri_lo[ids].min(0).astype(np.float32)
+            hi = tri_hi[ids].max(0).astype(np.float32)
+            nodes.append((lo, hi, None, None))
+            set_ref(("n", me))
+            stack.append((ids[:mid], setter_of(me, 0), depth + 1))
+            stack.append((ids[mid:], setter_of(me, 1), depth + 1))
             continue
 
         lo = tri_lo[ids].min(0)
@@ -187,6 +230,9 @@ def _collapse_wide(nodes, leaves, root_ref, tri_lo, tri_hi, width):
         if ref[0] == "n":
             lo, hi, _, _ = nodes[ref[1]]
             return lo, hi
+        if ref[0] == "i":
+            return (tri_lo[ref[1]].astype(np.float32),
+                    tri_hi[ref[1]].astype(np.float32))
         ids = leaves[ref[1]]
         return tri_lo[ids].min(0).astype(np.float32), tri_hi[ids].max(0).astype(np.float32)
 
@@ -194,8 +240,10 @@ def _collapse_wide(nodes, leaves, root_ref, tri_lo, tri_hi, width):
     leaf_order = []  # binary-leaf index per emitted chunk
 
     def emit(ref):
-        """Emit the subtree at `ref` as a wide node; returns ('w', idx) or
-        ('l', chunk)."""
+        """Emit the subtree at `ref` as a wide node; returns ('w', idx),
+        ('l', chunk) or ('i', prim_id) (instance pseudo-leaf)."""
+        if ref[0] == "i":
+            return ref
         if ref[0] == "l":
             leaf_order.append(ref[1])
             return ("l", len(leaf_order) - 1)
@@ -314,6 +362,199 @@ def build_bvh(p0, p1, p2, leaf_k=LEAF_K):
     )
 
 
+def _transform_aabb(lo, hi, m):
+    """World AABB of an object-space box under affine m (3,4)."""
+    corners = np.array(
+        [[lo[0], lo[1], lo[2]], [lo[0], lo[1], hi[2]],
+         [lo[0], hi[1], lo[2]], [lo[0], hi[1], hi[2]],
+         [hi[0], lo[1], lo[2]], [hi[0], lo[1], hi[2]],
+         [hi[0], hi[1], lo[2]], [hi[0], hi[1], hi[2]]], np.float64
+    )
+    w = corners @ m[:, :3].T + m[:, 3]
+    return w.min(0), w.max(0)
+
+
+def build_two_level(static_p, protos, inst_proto, inst_o2w, leaf_k=LEAF_K):
+    """TLAS + per-prototype BLAS over shared object-space geometry.
+
+    static_p: (T_s, 3, 3) world-space non-instanced triangles;
+    protos: list of (T_p, 3, 3) object-space prototype triangles;
+    inst_proto: (I,) prototype index per instance;
+    inst_o2w: (I, 3, 4) object->world affine per instance.
+
+    Returns Bvh2Build. `src` indexes the CONCATENATED soup
+    [static | protos[0] | protos[1] | ...]; the caller reorders all
+    per-triangle columns (built in that concatenated order) through it.
+    Replaces the reference's TransformedPrimitive + sub-BVH design
+    (scene_builder.cu:809-876) without flattening geometry per instance.
+    """
+    static_p = np.asarray(static_p, np.float32).reshape(-1, 3, 3)
+    T_s = static_p.shape[0]
+    I = len(inst_proto)
+    inst_proto = np.asarray(inst_proto, np.int64)
+    inst_o2w = np.asarray(inst_o2w, np.float64).reshape(I, 3, 4)
+
+    # ---- BLAS per prototype (existing single-level machinery, local ids)
+    blas = []
+    proto_bounds = []
+    for P in protos:
+        P = np.asarray(P, np.float32).reshape(-1, 3, 3)
+        blas.append(build_bvh(P[:, 0], P[:, 1], P[:, 2], leaf_k))
+        lo = P.min(axis=(0, 1))
+        hi = P.max(axis=(0, 1))
+        proto_bounds.append((lo, hi))
+
+    # ---- top-tree primitive set: static tris + instance world boxes
+    s_lo = static_p.min(1)
+    s_hi = static_p.max(1)
+    i_lo = np.zeros((I, 3))
+    i_hi = np.zeros((I, 3))
+    for i in range(I):
+        lo, hi = proto_bounds[inst_proto[i]]
+        i_lo[i], i_hi[i] = _transform_aabb(lo, hi, inst_o2w[i])
+    prim_lo = np.concatenate([s_lo, i_lo.astype(np.float32)], 0)
+    prim_hi = np.concatenate([s_hi, i_hi.astype(np.float32)], 0)
+    cent = 0.5 * (prim_lo + prim_hi)
+
+    lo0 = cent.min(0)
+    extent = np.maximum(cent.max(0) - lo0, 1e-30)
+    q = np.clip(((cent - lo0) / extent) * 1023.0, 0.0, 1023.0).astype(np.uint32)
+    codes = encode_morton3(q[:, 0], q[:, 1], q[:, 2])
+    order = np.argsort(codes, kind="stable").astype(np.int64)
+
+    nodes, leaves, root_ref = _build_binary(
+        prim_lo, prim_hi, cent, order, leaf_k, big_from=T_s
+    )
+    wide, leaf_order, root = _collapse_wide(
+        nodes, leaves, root_ref, prim_lo, prim_hi, WIDTH
+    )
+    if root[0] != "w":
+        # degenerate top (single chunk / single instance): synthesize a root
+        # so row 0 is always an internal row
+        lo = prim_lo.min(0).astype(np.float32)
+        hi = prim_hi.max(0).astype(np.float32)
+        wide = [[(lo, hi, root)]] + wide
+        # 'w' refs inside the shifted list must move by one
+        wide = [
+            [(slo, shi, ("w", r[1] + 1) if r[0] == "w" else r)
+             for (slo, shi, r) in slots]
+            for slots in wide
+        ]
+        root = ("w", 0)
+
+    A = len(wide)
+    n_top_leaves = len(leaf_order)
+    int_off = []
+    acc = A
+    for b in blas:
+        int_off.append(acc)
+        acc += b.n_int
+    n_int = acc
+    L0 = n_int + I                              # first leaf row id
+    leaf_off = []
+    acc_l = n_top_leaves
+    for b in blas:
+        leaf_off.append(L0 + acc_l)
+        acc_l += b.n_padded // leaf_k
+    n_leaves = acc_l
+    n_rows = n_int + I + n_leaves
+    row_w = max(6 * WIDTH + WIDTH, 9 * leaf_k)
+    BIG = np.float32(3e38)
+    rows = np.zeros((n_rows, row_w), np.float32)
+
+    # ---- top internal rows
+    def top_cid(ref):
+        if ref[0] == "w":
+            return ref[1]
+        if ref[0] == "i":
+            return n_int + (ref[1] - T_s)
+        return L0 + ref[1]
+
+    for i, slots in enumerate(wide):
+        r = rows[i]
+        r[0: 6 * WIDTH: 6] = BIG
+        r[3: 6 * WIDTH: 6] = -BIG
+        r[6 * WIDTH:] = -1.0
+        for s, (slo, shi, ref) in enumerate(slots):
+            r[s * 6: s * 6 + 3] = slo
+            r[s * 6 + 3: s * 6 + 6] = shi
+            r[6 * WIDTH + s] = float(top_cid(ref))
+
+    # ---- BLAS rows, ids remapped into the global table
+    for p, b in enumerate(blas):
+        bi = b.rows[: b.n_int].copy()
+        child = bi[:, 6 * WIDTH:]
+        is_leaf_c = child >= b.n_int
+        child_new = np.where(
+            child < 0, -1.0,
+            np.where(is_leaf_c, child - b.n_int + leaf_off[p],
+                     child + int_off[p]),
+        )
+        bi[:, 6 * WIDTH:] = child_new
+        rows[int_off[p]: int_off[p] + b.n_int] = bi
+        nl = b.n_padded // leaf_k
+        rows[leaf_off[p]: leaf_off[p] + nl] = b.rows[b.n_int:]
+
+    # ---- instance rows: [w2o 12 | blas root | instance id]
+    for i in range(I):
+        p = int(inst_proto[i])
+        m = np.eye(4)
+        m[:3, :4] = inst_o2w[i]
+        w2o = np.linalg.inv(m)[:3, :4]
+        root_gid = int_off[p] if blas[p].n_int > 0 else leaf_off[p]
+        r = rows[n_int + i]
+        r[:12] = w2o.reshape(-1).astype(np.float32)
+        r[12] = float(root_gid)
+        r[13] = float(i)
+
+    # ---- top leaf rows (static tris) + global src
+    src = np.full(n_leaves * leaf_k, -1, np.int32)
+    for chunk, bleaf in enumerate(leaf_order):
+        ids = leaves[bleaf]
+        assert np.all(ids < T_s)
+        src[chunk * leaf_k: chunk * leaf_k + ids.shape[0]] = ids
+    src_off = T_s
+    for p, b in enumerate(blas):
+        base = (leaf_off[p] - L0) * leaf_k
+        bs = b.src
+        src[base: base + bs.shape[0]] = np.where(bs >= 0, bs + src_off, -1)
+        src_off += int(protos[p].reshape(-1, 3, 3).shape[0])
+
+    mask = src >= 0
+    si = np.maximum(src, 0)
+    allp = np.concatenate(
+        [static_p] + [np.asarray(P, np.float32).reshape(-1, 3, 3) for P in protos],
+        axis=0,
+    ) if protos else static_p
+    tri9 = allp[si].reshape(-1, 9).copy()
+    tri9[~mask] = 0.0
+    rows[L0:, : leaf_k * 9] = tri9.reshape(n_leaves, leaf_k * 9)
+
+    # depth bound: top chain + restore + deepest BLAS chain
+    if wide:
+        depth = np.ones(A, np.int32)
+        for i in range(A - 1, -1, -1):
+            d = 1
+            for _, _, ref in wide[i]:
+                if ref[0] == "w":
+                    d = max(d, 1 + depth[ref[1]])
+            depth[i] = d
+        top_depth = int(depth[0])
+    else:
+        top_depth = 1
+    max_depth = top_depth + max([b.max_depth for b in blas], default=0) + 2
+    iter_bound = 4 * (A + n_top_leaves) + 16
+    for i in range(I):
+        b = blas[int(inst_proto[i])]
+        iter_bound += 4 * (b.n_int + b.n_padded // leaf_k) + 8
+
+    return Bvh2Build(
+        rows=rows, src=src, n_int=n_int, n_inst=I,
+        n_padded=n_leaves * leaf_k, max_depth=max_depth,
+        iter_bound=int(iter_bound),
+    )
+
+
 def reorder_pad(build: BvhBuild, a, fill):
     """Reorder a per-triangle column (T, ...) into padded leaf order."""
     a = np.asarray(a)
@@ -355,7 +596,7 @@ def _slab8(o, inv_d, boxes, t_best):
 
 
 _DONE = jnp.int32(-1)
-_FRESH = 255  # child bitmask of a first visit
+_FRESH = 255  # child bitmask of a first visit (mask 0 = RESTORE sentinel)
 
 
 class _St(NamedTuple):
@@ -365,6 +606,26 @@ class _St(NamedTuple):
     t_best: jnp.ndarray   # (R,)
     prim: jnp.ndarray     # (R,)
     it: jnp.ndarray       # () iteration counter (stage cap / safety bound)
+
+
+class _StI(NamedTuple):
+    """Instanced-traversal state: adds the per-lane CURRENT ray (object
+    space while inside a BLAS) and instance context. pbrt forbids nested
+    ObjectInstance, so 'restore' always returns to the loop-invariant world
+    ray — the stack never has to save rays, only a RESTORE sentinel
+    (packed mask == 0, a value no ordinary push produces)."""
+
+    cur: jnp.ndarray
+    sp: jnp.ndarray
+    stack: jnp.ndarray
+    t_best: jnp.ndarray
+    prim: jnp.ndarray
+    hin: jnp.ndarray      # (R,) instance id of the best hit (-1 static)
+    inst: jnp.ndarray     # (R,) current instance context (-1 world)
+    oc: jnp.ndarray       # (R,3) current-space ray origin
+    dc: jnp.ndarray       # (R,3) current-space ray direction (UNNORMALIZED
+                          # in object space so t stays world-parameterized)
+    it: jnp.ndarray
 
 
 def make_cond(cap):
@@ -478,15 +739,142 @@ def make_stepper(rows, n_int, leaf_k, SD, any_hit=False):
     return make_ctx
 
 
-def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False):
+def make_stepper_inst(rows, n_int, n_inst, leaf_k, SD, any_hit=False):
+    """Traversal body factory for a TWO-LEVEL table (instance rows present).
+
+    Differences from make_stepper: the ray lives in STATE (oc/dc) because an
+    instance-row visit moves the lane into that instance's object space; the
+    shear/inv_d are recomputed per iteration from dc (pure VPU math, no
+    gather); a RESTORE sentinel (mask==0) pushed on instance entry restores
+    the world ray when the BLAS is exhausted."""
+    n_rows = rows.shape[0]
+    L0 = n_int + n_inst
+    P = n_rows - L0
+    K = leaf_k
+
+    slot_ids = jnp.arange(SD, dtype=jnp.int32)
+    bits = (1 << jnp.arange(WIDTH, dtype=jnp.int32))[None, :]
+
+    def make_body(o_w, d_w):
+        def body(st):
+            live = st.cur != _DONE
+            curp = jnp.maximum(st.cur, 0)
+            nid = curp >> 8
+            mask = curp & 255
+            is_restore = live & (mask == 0)
+            visit = live & ~is_restore
+            is_int = visit & (nid < n_int)
+            is_instrow = visit & (nid >= n_int) & (nid < L0)
+            is_leaf = visit & (nid >= L0)
+
+            row = rows[nid]                              # (R, ROW_W)
+            inv_d = _safe_inv(st.dc)
+            kz, sx, sy, sz = ix.ray_shear(st.dc)
+
+            # ---- leaf: K triangle tests in the CURRENT space
+            t_best, prim, hin = st.t_best, st.prim, st.hin
+            chunk = jnp.clip(nid - L0, 0, max(P - 1, 0))
+            for k in range(K):
+                p0 = row[:, k * 9: k * 9 + 3]
+                p1 = row[:, k * 9 + 3: k * 9 + 6]
+                p2 = row[:, k * 9 + 6: k * 9 + 9]
+                t_k, _, hit_k = ix.intersect_tri_lanes_presheared(
+                    st.oc, kz, sx, sy, sz, t_best, p0, p1, p2
+                )
+                better = is_leaf & hit_k & (t_k < t_best)
+                t_best = jnp.where(better, t_k, t_best)
+                prim = jnp.where(better, chunk * K + k, prim)
+                hin = jnp.where(better, st.inst, hin)
+            found = prim >= 0
+
+            # ---- internal: 8 slab tests from the same row
+            boxes = row[:, : 6 * WIDTH].reshape(row.shape[0], WIDTH, 6)
+            child = row[:, 6 * WIDTH: 7 * WIDTH].astype(jnp.int32)
+            tn, hit = _slab8(st.oc, inv_d, boxes, t_best)
+            hit &= is_int[:, None] & (child >= 0) & ((mask[:, None] & bits) > 0)
+
+            tn_m = jnp.where(hit, tn, INFINITY)
+            best_slot = jnp.argmin(tn_m, axis=-1)
+            onehot = (jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
+                      == best_slot[:, None])
+            near_child = jnp.sum(jnp.where(onehot & hit, child, 0), axis=-1)
+            any_child = jnp.any(hit, axis=-1)
+
+            remaining = hit & ~onehot
+            n_rem = jnp.sum(remaining.astype(jnp.int32), axis=-1)
+            rem_bits = jnp.sum(jnp.where(remaining, bits, 0), axis=-1)
+            single = jnp.sum(jnp.where(remaining, child, 0), axis=-1)
+            push_val = jnp.where(
+                n_rem == 1, single * 256 + _FRESH, nid * 256 + rem_bits
+            )
+            # instance entry pushes the RESTORE sentinel (mask 0)
+            push_val = jnp.where(is_instrow, nid * 256, push_val)
+            do_push = (is_int & (n_rem >= 1)) | is_instrow
+            stack = jnp.where(
+                (slot_ids[None, :] == st.sp[:, None]) & do_push[:, None],
+                push_val[:, None],
+                st.stack,
+            )
+            sp = st.sp + do_push.astype(jnp.int32)
+
+            # ---- instance row: move the lane into object space
+            m = row[:, :12].reshape(row.shape[0], 3, 4)
+            o_obj = jnp.einsum("rij,rj->ri", m[:, :, :3], o_w) + m[:, :, 3]
+            d_obj = jnp.einsum("rij,rj->ri", m[:, :, :3], d_w)
+            blas_root = row[:, 12].astype(jnp.int32)
+            iid = row[:, 13].astype(jnp.int32)
+            oc = jnp.where(is_instrow[:, None], o_obj,
+                           jnp.where(is_restore[:, None], o_w, st.oc))
+            dc = jnp.where(is_instrow[:, None], d_obj,
+                           jnp.where(is_restore[:, None], d_w, st.dc))
+            inst = jnp.where(is_instrow, iid,
+                             jnp.where(is_restore, -1, st.inst))
+
+            # next node: descend / enter BLAS / pop
+            need_pop = live & (is_leaf | is_restore | (is_int & ~any_child))
+            if any_hit:
+                need_pop &= ~found
+            can_pop = need_pop & (sp > 0)
+            sp_pop = jnp.maximum(sp - 1, 0)
+            popped = jnp.sum(
+                jnp.where(slot_ids[None, :] == sp_pop[:, None], stack, 0), axis=1
+            )
+            cur_next = jnp.where(
+                is_int & any_child,
+                near_child * 256 + _FRESH,
+                jnp.where(
+                    is_instrow,
+                    blas_root * 256 + _FRESH,
+                    jnp.where(can_pop, popped, _DONE),
+                ),
+            )
+            if any_hit:
+                cur_next = jnp.where(found, _DONE, cur_next)
+            sp = jnp.where(can_pop, sp_pop, sp)
+            cur_next = jnp.where(live, cur_next, _DONE)
+
+            return _StI(cur=cur_next, sp=sp, stack=stack, t_best=t_best,
+                        prim=prim, hin=hin, inst=inst, oc=oc, dc=dc,
+                        it=st.it + 1)
+        return body
+
+    def make_ctx(o, d):
+        return make_body(o, d)
+
+    return make_ctx
+
+
+def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
+              n_inst=0, iter_bound=None):
     """Wide-BVH traversal over the unified row table.
 
-    rows: (n_int + P, ROW_W); o, d: (R, 3); t_max: (R,). Returns
-    (t (R,), prim (R,) i32, -1 on miss). Discrete only — call
-    intersect_tri_lanes on the winner for the differentiable record.
+    rows: (n_int [+ n_inst] + P, ROW_W); o, d: (R, 3); t_max: (R,). Returns
+    (t (R,), prim (R,) i32, inst (R,) i32), prim/inst -1 on miss. Discrete
+    only — call intersect_tri_lanes on the winner for the differentiable
+    record. n_inst > 0 switches to the two-level stepper.
     """
     n_rows = rows.shape[0]
-    P = n_rows - n_int
+    P = n_rows - n_int - n_inst
     K = leaf_k
     R = o.shape[0]
     SD = stack_depth + 2
@@ -498,21 +886,36 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False):
     t_max = jax.lax.stop_gradient(t_max)
     rows = jax.lax.stop_gradient(rows)
 
-    # each (node, child-subset) pair is visited at most once; anything past
-    # this is a traversal bug — terminate rather than wedge the watchdog
-    max_iters = jnp.int32(4 * n_rows + 16)
+    # each (node, child-subset) pair is visited at most once per instance
+    # context; anything past this is a traversal bug — terminate rather
+    # than wedge the watchdog
+    max_iters = jnp.int32(iter_bound if iter_bound else 4 * n_rows + 16)
 
-    make_ctx = make_stepper(rows, n_int, leaf_k, SD, any_hit=any_hit)
+    if n_inst:
+        make_ctx = make_stepper_inst(rows, n_int, n_inst, leaf_k, SD,
+                                     any_hit=any_hit)
+        st = _StI(
+            cur=jnp.full((R,), _FRESH, jnp.int32),  # root (id 0) fresh
+            sp=jnp.zeros((R,), jnp.int32),
+            stack=jnp.zeros((R, SD), jnp.int32),
+            t_best=t_max,
+            prim=jnp.full((R,), -1, jnp.int32),
+            hin=jnp.full((R,), -1, jnp.int32),
+            inst=jnp.full((R,), -1, jnp.int32),
+            oc=o, dc=d,
+            it=jnp.int32(0),
+        )
+    else:
+        make_ctx = make_stepper(rows, n_int, leaf_k, SD, any_hit=any_hit)
+        st = _St(
+            cur=jnp.full((R,), _FRESH, jnp.int32),
+            sp=jnp.zeros((R,), jnp.int32),
+            stack=jnp.zeros((R, SD), jnp.int32),
+            t_best=t_max,
+            prim=jnp.full((R,), -1, jnp.int32),
+            it=jnp.int32(0),
+        )
     body = make_ctx(o, d)
-
-    st = _St(
-        cur=jnp.full((R,), _FRESH, jnp.int32),  # root (id 0) fresh
-        sp=jnp.zeros((R,), jnp.int32),
-        stack=jnp.zeros((R, SD), jnp.int32),
-        t_best=t_max,
-        prim=jnp.full((R,), -1, jnp.int32),
-        it=jnp.int32(0),
-    )
 
     # ---- staged traversal (PROFILE §3): masked-dense execution is gated by
     # the WORST lane, so run a capped full-width stage then compact
@@ -532,21 +935,15 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False):
         order = jnp.argsort(jnp.where(unfinished, 0, 1).astype(jnp.int32),
                             stable=True)
         sel = order[:R_T]
-        sub = _St(
-            cur=st.cur[sel], sp=st.sp[sel], stack=st.stack[sel],
-            t_best=st.t_best[sel], prim=st.prim[sel], it=jnp.int32(0),
-        )
-        return sel, sub
+        sub = jax.tree.map(lambda a: a[sel] if a.ndim >= 1 else a, st)
+        return sel, sub._replace(it=jnp.int32(0))
 
     def scatter(st, sel, sub):
-        return st._replace(
-            cur=st.cur.at[sel].set(sub.cur),
-            sp=st.sp.at[sel].set(sub.sp),
-            stack=st.stack.at[sel].set(sub.stack),
-            t_best=st.t_best.at[sel].set(sub.t_best),
-            prim=st.prim.at[sel].set(sub.prim),
-            it=jnp.int32(0),
+        out = jax.tree.map(
+            lambda full, part: full.at[sel].set(part) if full.ndim >= 1 else full,
+            st, sub,
         )
+        return out._replace(it=jnp.int32(0))
 
     def dense_finish(sub, o2, d2):
         """Chunked dense sweep of the WHOLE padded soup for the extreme tail
@@ -591,14 +988,21 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False):
         o_c, d_c = o_c[sel], d_c[sel]
         body_c = make_ctx(o_c, d_c)
         sub = jax.lax.while_loop(make_cond(jnp.int32(cap)), body_c, nxt)
-    # exact dense finish for whatever remains, budgeted by scene size
-    X = max(128, min(sub.cur.shape[0], int(3e7 // max(P * K, 1))))
-    if X < sub.cur.shape[0]:
-        sel, nxt = compact(sub, X)
-        frames.append((sel, sub))
-        o_c, d_c = o_c[sel], d_c[sel]
-        sub = nxt
-    sub = dense_finish(sub, o_c, d_c)
+    if not n_inst:
+        # exact dense finish for whatever remains, budgeted by scene size.
+        # (Instanced tables skip this: prototype soup rows live in object
+        # space, so a flat world-ray sweep over them would be wrong — the
+        # extreme tail finishes in the capped ladder rung below instead.)
+        X = max(128, min(sub.cur.shape[0], int(3e7 // max(P * K, 1))))
+        if X < sub.cur.shape[0]:
+            sel, nxt = compact(sub, X)
+            frames.append((sel, sub))
+            o_c, d_c = o_c[sel], d_c[sel]
+            sub = nxt
+        sub = dense_finish(sub, o_c, d_c)
+    else:
+        body_c = make_ctx(o_c, d_c)
+        sub = jax.lax.while_loop(make_cond(max_iters), body_c, sub)
     for sel, outer in reversed(frames):
         sub = scatter(outer, sel, sub)
     st = sub
@@ -607,13 +1011,29 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False):
     # overflow at full width; otherwise it runs ZERO iterations (the cond is
     # false immediately) and costs nothing.
     st = jax.lax.while_loop(make_cond(max_iters), body, st)
-    return st.t_best, st.prim
+    if n_inst:
+        return st.t_best, st.prim, st.hin
+    return st.t_best, st.prim, jnp.full((R,), -1, jnp.int32)
 
 
 def _scene_tree(scene):
-    """(rows, n_int, stack_depth) from the compiled scene arrays; the two
-    zero-byte marker arrays carry the static ints in their shapes."""
-    return (scene.bvh_rows, scene.bvh_nint.shape[0], scene.bvh_depth.shape[0])
+    """(rows, n_int, n_inst, stack_depth, iter_bound) from the compiled
+    scene arrays; the zero-byte marker arrays carry static ints in their
+    shapes."""
+    return (scene.bvh_rows, scene.bvh_nint.shape[0],
+            scene.bvh_ninst.shape[0], scene.bvh_depth.shape[0],
+            scene.bvh_iterb.shape[0])
+
+
+def _refit_ray(scene, o, d, hin):
+    """Ray transformed into the winning instance's object space (identity
+    where hin < 0) for the differentiable refit."""
+    iw = jnp.maximum(hin, 0)
+    m = scene.inst_w2o[iw].reshape(-1, 3, 4)          # (R,3,4)
+    o_i = jnp.einsum("rij,rj->ri", m[:, :, :3], o) + m[:, :, 3]
+    d_i = jnp.einsum("rij,rj->ri", m[:, :, :3], d)
+    use = (hin >= 0)[:, None]
+    return jnp.where(use, o_i, o), jnp.where(use, d_i, d)
 
 
 def closest_hit_tris(scene, o, d, t_max):
@@ -621,26 +1041,35 @@ def closest_hit_tris(scene, o, d, t_max):
 
     The returned t/bary are recomputed differentiably against the winning
     triangle; prim indexes the LEAF-ORDERED triangle arrays (scene columns
-    are already stored in that order by the compiler).
+    are already stored in that order by the compiler). For instanced hits
+    (inst >= 0) the refit runs in the instance's object space — t stays
+    world-parameterized because the object-space direction is unnormalized.
     """
-    rows, n_int, depth = _scene_tree(scene)
-    t_disc, prim = _traverse(rows, n_int, depth, LEAF_K, o, d, t_max)
+    rows, n_int, n_inst, depth, iterb = _scene_tree(scene)
+    t_disc, prim, hin = _traverse(rows, n_int, depth, LEAF_K, o, d, t_max,
+                                  n_inst=n_inst, iter_bound=iterb)
     found = prim >= 0
     pc = jnp.maximum(prim, 0)
+    if n_inst:
+        o_r, d_r = _refit_ray(scene, o, d, hin)
+    else:
+        o_r, d_r = o, d
     # differentiable refit against the winner (tri_p0/p1/p2 carry gradients)
     t_ref, bary, hit_ref = ix.intersect_tri_lanes(
-        o, d, t_max, scene.tri_p0[pc], scene.tri_p1[pc], scene.tri_p2[pc]
+        o_r, d_r, t_max, scene.tri_p0[pc], scene.tri_p1[pc], scene.tri_p2[pc]
     )
     ok = found & hit_ref
     return ix.TriHit(
         t=jnp.where(ok, t_ref, INFINITY),
         prim=jnp.where(ok, prim, -1),
         b=jnp.where(ok[..., None], bary, 0.0),
+        inst=jnp.where(ok, hin, -1),
     )
 
 
 def any_hit_tris(scene, o, d, t_max):
     """BVH shadow query: True where some triangle blocks (R,)."""
-    rows, n_int, depth = _scene_tree(scene)
-    _, prim = _traverse(rows, n_int, depth, LEAF_K, o, d, t_max, any_hit=True)
+    rows, n_int, n_inst, depth, iterb = _scene_tree(scene)
+    _, prim, _ = _traverse(rows, n_int, depth, LEAF_K, o, d, t_max,
+                           any_hit=True, n_inst=n_inst, iter_bound=iterb)
     return prim >= 0

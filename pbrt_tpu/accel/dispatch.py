@@ -106,6 +106,33 @@ def intersect(scene, o, d, t_max) -> SceneHit:
         b = th.b
         p_t = b[..., 0:1] * p0 + b[..., 1:2] * p1 + b[..., 2:3] * p2
         ng_t = vm.normalize(vm.cross(p1 - p0, p2 - p0))
+        has_inst = use_bvh and scene.bvh_ninst.shape[0] > 0
+        if has_inst:
+            # instanced hits: vertices/normals are the prototype's OBJECT
+            # space — map the record to world with the instance transform
+            # (reference TransformedPrimitive::intersect re-expression).
+            # Positions use o2w; normals use (w2o)^T = o2w^{-T}. The swap
+            # (mirroring) flip applies to shading normals; the geometric
+            # cross-product normal needs only the stored def-space rev
+            # because the world-vert-cross sign(det) and the rev^swap
+            # composition cancel (see builder _emit_instance).
+            is_i = th.inst >= 0
+            iw = jnp.maximum(th.inst, 0)
+            o2w = take_rows(scene.inst_o2w, iw).reshape(-1, 3, 4)
+            w2o = take_rows(scene.inst_w2o, iw).reshape(-1, 3, 4)
+            i_swap = take_rows(scene.inst_swap, iw) > 0.5
+
+            def _xform_p(p):
+                return jnp.einsum("rij,rj->ri", o2w[:, :, :3], p) + o2w[:, :, 3]
+
+            def _xform_n(n):
+                # (M^{-T} n)_i = sum_j w2o[j,i] n_j
+                return jnp.einsum("rji,rj->ri", w2o[:, :, :3], n)
+
+            p_t = jnp.where(is_i[..., None], _xform_p(p_t), p_t)
+            ng_t = jnp.where(
+                is_i[..., None], vm.normalize(_xform_n(ng_t)), ng_t
+            )
         if use_bvh:
             # big table: ONE wide row gather for the whole hit record
             # (gathers cost per row on TPU; see tri_rec layout in compile.py)
@@ -133,6 +160,10 @@ def intersect(scene, o, d, t_max) -> SceneHit:
         ns_t = vm.normalize(
             b[..., 0:1] * n0 + b[..., 1:2] * n1 + b[..., 2:3] * n2
         )
+        if has_inst:
+            ns_w = vm.normalize(_xform_n(ns_t))
+            ns_w = jnp.where(i_swap[..., None], -ns_w, ns_w)
+            ns_t = jnp.where(is_i[..., None], ns_w, ns_t)
         # faceforward geometric normal onto shading normal side (pbrt)
         ng_adj = jnp.where(
             has_n[..., None], vm.face_forward(ng_t, ns_t), ng_t

@@ -31,6 +31,8 @@ class TriHit(NamedTuple):
     t: jnp.ndarray        # (...,) hit distance (INFINITY if miss)
     prim: jnp.ndarray     # (...,) int32 triangle index (-1 if miss)
     b: jnp.ndarray        # (..., 3) barycentrics
+    inst: jnp.ndarray = None  # (...,) int32 instance id (-1 = world/static;
+                              # only the two-level BVH path sets this)
 
 
 def _max_dim(v):
@@ -203,6 +205,7 @@ def intersect_tris_dense(o, d, t_max, tris: TriangleSoA) -> TriHit:
         t=t_best,
         prim=jnp.where(found, best.astype(jnp.int32), -1),
         b=bary[r, best],
+        inst=jnp.full(o.shape[:1], -1, jnp.int32),
     )
 
 

@@ -176,6 +176,19 @@ class SceneBuilder:
         self.object_defs = {}        # name -> dict(tris=[chunk], spheres=[], disks=[])
         self.active_object = None    # name while recording a definition
         self.named_coordinate_systems = {}
+        # two-level BVH instancing outputs (compile.py builds a TLAS over
+        # [static tris | instance AABBs] + one shared BLAS per prototype —
+        # the reference's TransformedPrimitive + sub-BVH design,
+        # scene_builder.cu:809-876). Mode:
+        #   "auto"    — flatten small instances (cheap, keeps tiny scenes on
+        #               the dense/static path), share geometry past
+        #               AUTO_FLATTEN_TRIS total;
+        #   "flatten" — always replay geometry (old behavior);
+        #   "bvh"     — always share via the two-level BVH.
+        self.instancing = "auto"
+        self.protos = []             # per-proto per-tri column dicts
+        self.instances = []          # dict(proto=idx, o2w=(3,4), swap=bool)
+        self._proto_index = {}       # def name -> proto idx
 
         # configs (reference defaults, SURVEY.md §8 'Observed runtime defaults')
         self.film = {"xresolution": 1920, "yresolution": 1080, "filename": "out.png"}
@@ -594,14 +607,64 @@ class SceneBuilder:
             self.tri_rev.append(rev)
             self.tri_med.append(med)
 
-    # maximum triangles an instanced scene may flatten to before we demand
-    # the (pending) two-level BVH instead of silently exhausting memory
+    # "flatten" mode: hard cap before we refuse to replay geometry (auto
+    # mode never reaches it — defs promote to shared prototypes first)
     MAX_FLATTENED_TRIS = 4_000_000
+    # "auto" mode: replay (flatten) instances while the scene stays under
+    # this many triangles — small scenes traverse faster single-level —
+    # then promote the definition to a shared prototype + two-level BVH
+    AUTO_FLATTEN_TRIS = 262_144
+
+    def _promote_proto(self, name):
+        """Register object_defs[name]'s triangle chunks as a shared
+        prototype: per-TRIANGLE columns in definition space, consumed by
+        compile.py's two-level BVH branch (the reference's per-definition
+        sub-BVH, scene_builder.cu:70-90 + primitives/transformed_primitive.h)."""
+        if name in self._proto_index:
+            return self._proto_index[name]
+        d = self.object_defs[name]
+        default_uv = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
+        Ps, Ns, UVs, hn, mats, revs, meds = [], [], [], [], [], [], []
+        for c in d["tris"]:
+            idx = np.asarray(c["idx"]).reshape(-1, 3)
+            n = idx.shape[0]
+            Ps.append(np.asarray(c["P"])[idx])
+            if c["N"] is not None:
+                Ns.append(np.asarray(c["N"])[idx])
+                hn.append(np.ones(n, bool))
+            else:
+                Ns.append(np.zeros((n, 3, 3)))
+                hn.append(np.zeros(n, bool))
+            if c["UV"] is not None:
+                UVs.append(np.asarray(c["UV"])[idx])
+            else:
+                UVs.append(np.tile(default_uv, (n, 1, 1)))
+            mats.append(np.full(n, c["mat"], np.int32))
+            revs.append(np.full(n, c["rev"], bool))
+            meds.append(np.tile(np.asarray(c["med"], np.int32), (n, 1)))
+        self.protos.append(dict(
+            P=np.concatenate(Ps),
+            N=np.concatenate(Ns),
+            UV=np.concatenate(UVs),
+            has_n=np.concatenate(hn),
+            mat=np.concatenate(mats),
+            rev=np.concatenate(revs),
+            med=np.concatenate(meds),
+        ))
+        self._proto_index[name] = len(self.protos) - 1
+        return self._proto_index[name]
 
     def _emit_instance(self, name):
         """ObjectInstance: replay a recorded definition under the current CTM
         (final transform = CTM_instance . CTM_definition, exactly the
-        reference's TransformedPrimitive composition scene_builder.cu:856-876)."""
+        reference's TransformedPrimitive composition scene_builder.cu:856-876).
+
+        Triangle payload routing (self.instancing): small scenes flatten
+        (replay world-space copies — fastest single-level traversal); large
+        or forced ("bvh") scenes share one prototype per definition and
+        record only (proto, o2w, swap) — the reference's
+        TransformedPrimitive design. Quadrics always flatten (analytic,
+        cheap)."""
         if name not in self.object_defs:
             raise ValueError(f"ObjectInstance {name!r} not defined")
         ctm = self.state.ctm
@@ -611,21 +674,36 @@ class SceneBuilder:
         swap = _swaps_handedness(ctm)
         d = self.object_defs[name]
         n_new = sum(len(c["idx"]) for c in d["tris"])
-        if len(self.tri_p) + n_new > self.MAX_FLATTENED_TRIS:
-            raise NotImplementedError(
-                "instanced scene flattens past MAX_FLATTENED_TRIS; "
-                "two-level BVH traversal not implemented yet"
-            )
-        for c in d["tris"]:
-            Pw = c["P"] @ M.T + t
-            Nw = None
-            if c["N"] is not None:
-                Nw = c["N"] @ inv[:3, :3]
-                Nw = Nw / np.maximum(np.linalg.norm(Nw, axis=-1, keepdims=True), 1e-30)
-                if swap:
-                    Nw = -Nw
-            self._append_tris(Pw, c["idx"], Nw, c["UV"], c["mat"],
-                              c["rev"] ^ swap, c["med"])
+        mode = self.instancing
+        use_proto = bool(d["tris"]) and (
+            mode == "bvh"
+            or (mode == "auto"
+                and (name in self._proto_index
+                     or len(self.tri_p) + n_new > self.AUTO_FLATTEN_TRIS))
+        )
+        if use_proto:
+            p = self._promote_proto(name)
+            self.instances.append(dict(
+                proto=p, o2w=np.asarray(ctm[:3, :4], np.float64).copy(),
+                swap=bool(swap),
+            ))
+        else:
+            if len(self.tri_p) + n_new > self.MAX_FLATTENED_TRIS:
+                raise NotImplementedError(
+                    "instancing='flatten' replays past MAX_FLATTENED_TRIS; "
+                    "use instancing='auto'/'bvh' (two-level BVH)"
+                )
+            for c in d["tris"]:
+                Pw = c["P"] @ M.T + t
+                Nw = None
+                if c["N"] is not None:
+                    Nw = c["N"] @ inv[:3, :3]
+                    Nw = Nw / np.maximum(
+                        np.linalg.norm(Nw, axis=-1, keepdims=True), 1e-30)
+                    if swap:
+                        Nw = -Nw
+                self._append_tris(Pw, c["idx"], Nw, c["UV"], c["mat"],
+                                  c["rev"] ^ swap, c["med"])
         for s in d["spheres"]:
             sc = abs(np.linalg.det(M)) ** (1.0 / 3.0)
             rot_i = M / max(sc, 1e-30)

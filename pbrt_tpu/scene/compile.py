@@ -40,10 +40,19 @@ class SceneArrays(NamedTuple):
     tri_rev: jnp.ndarray
     # BVH over triangles (accel/bvh.py): SAH-built 8-wide tree; empty rows
     # when the scene is small enough for the dense kernel
-    bvh_rows: jnp.ndarray        # (n_int + P, ROW_W) unified node/leaf table
+    bvh_rows: jnp.ndarray        # (n_int [+ n_inst] + P, ROW_W) unified
+                                 # node/instance/leaf table
     bvh_nint: jnp.ndarray        # (n_int, 0) zero-byte shape marker: the
                                  # internal-row count as a STATIC value
     bvh_depth: jnp.ndarray       # (max_depth, 0) zero-byte shape marker
+    # two-level BVH instancing (reference TransformedPrimitive + sub-BVH,
+    # primitives/transformed_primitive.h:7-33): empty on flattened scenes
+    bvh_ninst: jnp.ndarray       # (n_inst, 0) zero-byte shape marker
+    bvh_iterb: jnp.ndarray       # (iter_bound, 0) zero-byte shape marker
+    inst_w2o: jnp.ndarray        # (I, 12) render->object affine, row-major
+    inst_o2w: jnp.ndarray        # (I, 12) object->render affine
+    inst_swap: jnp.ndarray       # (I,) 1.0 where the instance transform
+                                 # mirrors (flips handedness)
     tri_rec: jnp.ndarray         # (T, 24) f32 packed per-tri hit record
                                  # [n0 n1 n2 uv0 uv1 uv2 mat light rev has_n
                                  #  med_in med_out] (BVH scenes only; ids as
@@ -244,7 +253,99 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
     from pbrt_tpu.accel import bvh as bvhlib
 
     tri_newpos = np.arange(T, dtype=np.int32)  # old index -> row in emitted SoA
-    if T >= bvhlib.MIN_TRIS_FOR_BVH:
+    protos = getattr(b, "protos", [])
+    instances = getattr(b, "instances", [])
+    n_inst = len(instances)
+    inst_w2o = np.zeros((0, 12), f32)
+    inst_o2w = np.zeros((0, 12), f32)
+    inst_swap = np.zeros((0,), f32)
+    bvh_ninst = np.zeros((0, 0), f32)
+    bvh_iterb = np.zeros((0, 0), f32)
+    inst_bounds_pts = []
+
+    def _pack_rec(n_pad, tn_, tuv_, mat_, light_, rev_, hasn_, med_):
+        # one wide row per triangle for hit-record assembly: a single gather
+        # instead of ~14 (gathers cost per ROW on TPU, width nearly free)
+        return np.concatenate(
+            [
+                tn_.reshape(n_pad, 9).astype(np.float32),
+                tuv_.reshape(n_pad, 6).astype(np.float32),
+                mat_[:, None].astype(np.float32),
+                light_[:, None].astype(np.float32),
+                rev_[:, None].astype(np.float32),
+                hasn_[:, None].astype(np.float32),
+                med_.astype(np.float32),
+            ],
+            axis=1,
+        )
+
+    if n_inst:
+        # ---- two-level BVH: TLAS over [static tris | instance AABBs],
+        # one shared BLAS per prototype in OBJECT space (reference keeps a
+        # sub-BVH per ObjectBegin definition, scene_builder.cu:809-876)
+        proto_P = [p["P"] for p in protos]
+        cat = lambda s, ps: np.concatenate([s] + list(ps), axis=0)
+        tp_all = cat(tp, [p["P"] for p in protos])        # protos stay
+        tn_all = cat(tn, [p["N"] for p in protos])        # object-space
+        tuv_all = cat(tuv, [p["UV"] for p in protos])
+        hasn_all = cat(has_n, [p["has_n"] for p in protos])
+        mat_all = cat(tri_mat, [p["mat"] for p in protos])
+        light_all = cat(tri_light,
+                        [np.full(len(p["mat"]), -1, np.int32) for p in protos])
+        rev_all = cat(tri_rev, [p["rev"] for p in protos])
+        med_all = cat(tri_med_arr, [p["med"] for p in protos])
+
+        inst_proto = [ins["proto"] for ins in instances]
+        o2w_r = []
+        for ins in instances:
+            m = np.asarray(ins["o2w"], np.float64).reshape(3, 4).copy()
+            m[:, 3] -= cam_pos                       # render space
+            o2w_r.append(m)
+        o2w_r = np.stack(o2w_r)
+        bvh = bvhlib.build_two_level(tp, proto_P, inst_proto, o2w_r)
+        n_pad = int(bvh.n_padded)
+
+        def reorder_pad(a, fill):
+            return bvhlib.reorder_pad(bvh, a, fill)
+
+        live = bvh.src >= 0
+        static_rows = live & (bvh.src < T)
+        tri_newpos = np.empty(T, np.int32)
+        tri_newpos[bvh.src[static_rows]] = np.nonzero(static_rows)[0].astype(np.int32)
+
+        tp = reorder_pad(tp_all, 0.0)
+        tn = reorder_pad(tn_all, 0.0)
+        tuv = reorder_pad(tuv_all, 0.0)
+        has_n = reorder_pad(hasn_all, False)
+        tri_mat = reorder_pad(mat_all, -1)
+        tri_light = reorder_pad(light_all, -1)
+        tri_rev = reorder_pad(rev_all, False)
+        tri_med_arr = reorder_pad(med_all, -1)
+        bvh_rows = bvh.rows
+        bvh_nint = np.zeros((bvh.n_int, 0), np.float32)
+        bvh_depth = np.zeros((bvh.max_depth, 0), np.float32)
+        bvh_ninst = np.zeros((bvh.n_inst, 0), np.float32)
+        bvh_iterb = np.zeros((min(bvh.iter_bound, 2**24), 0), np.float32)
+        tri_rec = _pack_rec(n_pad, tn, tuv, tri_mat, tri_light, tri_rev,
+                            has_n, tri_med_arr)
+
+        w2o_l, o2w_l, swap_l = [], [], []
+        for i, ins in enumerate(instances):
+            m4 = np.eye(4)
+            m4[:3, :4] = o2w_r[i]
+            w2o_l.append(np.linalg.inv(m4)[:3, :4].reshape(-1))
+            o2w_l.append(o2w_r[i].reshape(-1))
+            swap_l.append(1.0 if ins["swap"] else 0.0)
+        inst_w2o = np.asarray(w2o_l, f32)
+        inst_o2w = np.asarray(o2w_l, f32)
+        inst_swap = np.asarray(swap_l, f32)
+        # scene bounds must include instanced geometry (world AABBs)
+        for i, ins in enumerate(instances):
+            P = protos[inst_proto[i]]["P"].reshape(-1, 3)
+            lo, hi = P.min(0), P.max(0)
+            wlo, whi = bvhlib._transform_aabb(lo, hi, o2w_r[i])
+            inst_bounds_pts.append(np.stack([wlo, whi]))
+    elif T >= bvhlib.MIN_TRIS_FOR_BVH:
         bvh = bvhlib.build_bvh(tp[:, 0], tp[:, 1], tp[:, 2])
         n_pad = int(bvh.n_padded)
         tri_newpos = np.empty(T, np.int32)
@@ -482,7 +583,13 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
 
     # ---- scene bounds -> epsilon (reference scene_builder.cu:914-918)
     # tp[:T]: BVH padding rows are degenerate zeros, not scene geometry
-    all_pts = [tp[:T].reshape(-1, 3)] if T else []
+    # (on instanced scenes tp is in MIXED spaces; use the static prefix via
+    # tri_newpos plus the instances' world AABBs instead)
+    if n_inst:
+        all_pts = [tp[tri_newpos].reshape(-1, 3)] if T else []
+        all_pts += inst_bounds_pts
+    else:
+        all_pts = [tp[:T].reshape(-1, 3)] if T else []
     if S:
         all_pts.append(sph_center + sph_radius[:, None])
         all_pts.append(sph_center - sph_radius[:, None])
@@ -545,6 +652,11 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         bvh_rows=jnp.asarray(bvh_rows),
         bvh_nint=jnp.asarray(bvh_nint),
         bvh_depth=jnp.asarray(bvh_depth),
+        bvh_ninst=jnp.asarray(bvh_ninst),
+        bvh_iterb=jnp.asarray(bvh_iterb),
+        inst_w2o=jnp.asarray(inst_w2o, jnp.float32),
+        inst_o2w=jnp.asarray(inst_o2w, jnp.float32),
+        inst_swap=jnp.asarray(inst_swap, jnp.float32),
         tri_rec=jnp.asarray(tri_rec),
         sph_center=jnp.asarray(sph_center, jnp.float32),
         sph_radius=jnp.asarray(sph_radius, jnp.float32),

@@ -32,6 +32,8 @@ def _scene_of(p0, p1, p2):
         bvh_rows=jnp.asarray(build.rows),
         bvh_nint=jnp.zeros((build.n_int, 0)),
         bvh_depth=jnp.zeros((build.max_depth, 0)),
+        bvh_ninst=jnp.zeros((0, 0)),
+        bvh_iterb=jnp.zeros((0, 0)),
     )
 
 

@@ -57,9 +57,10 @@ Translate 0 0 0.25
 """
 
 
-def _build(txt):
+def _build(txt, instancing="auto"):
     b = bd.SceneBuilder()
-    b.parse_tokens(lx.tokenize(txt))
+    b.instancing = instancing    # must be set BEFORE parse (routing happens
+    b.parse_tokens(lx.tokenize(txt))  # at ObjectInstance emission)
     b.filter = {"type": "box"}  # mitchell's negative lobes are noise at 2 spp
     return b
 
@@ -84,6 +85,50 @@ def test_instanced_scene_renders_and_matches():
     assert np.isfinite(img_i).all()
     assert img_i.mean() > 0
     np.testing.assert_allclose(img_i, img_f, rtol=1e-4, atol=1e-5)
+
+
+def test_two_level_bvh_matches_flattened():
+    """Force the shared-prototype (two-level BVH) path on the same scene:
+    the instanced render must match the hand-flattened one (reference
+    TransformedPrimitive + per-definition sub-BVH semantics,
+    scene_builder.cu:809-876)."""
+    from pbrt_tpu.integrators.render import render
+
+    bi = _build(INSTANCED, instancing="bvh")  # share protos regardless of size
+    scene_i, meta_i = compile_scene(bi, spp_override=2)
+    assert scene_i.bvh_ninst.shape[0] == 3
+    assert scene_i.inst_w2o.shape == (3, 12)
+    scene_f, meta_f = compile_scene(_build(FLATTENED), spp_override=2)
+    img_i = np.asarray(render(scene_i, meta_i))
+    img_f = np.asarray(render(scene_f, meta_f))
+    assert np.isfinite(img_i).all()
+    assert img_i.mean() > 0
+    np.testing.assert_allclose(img_i, img_f, rtol=1e-4, atol=1e-4)
+
+
+def test_two_level_bvh_mirrored_instance():
+    """A reflecting (negative-determinant) instance transform must shade
+    identically through the two-level path and the flatten path (the
+    rev^swap composition and the object-space geometric normal's sign(det)
+    must cancel — see accel/dispatch.py)."""
+    from pbrt_tpu.integrators.render import render
+
+    MIRROR = HEAD + f"""
+ObjectBegin "card"
+  Translate 0.1 0 0.25
+  {QUAD}
+ObjectEnd
+Scale -1 1 1
+ObjectInstance "card"
+"""
+    bi = _build(MIRROR, instancing="bvh")
+    scene_i, meta_i = compile_scene(bi, spp_override=4)
+    bf = _build(MIRROR, instancing="flatten")
+    scene_f, meta_f = compile_scene(bf, spp_override=4)
+    img_i = np.asarray(render(scene_i, meta_i))
+    img_f = np.asarray(render(scene_f, meta_f))
+    assert np.isfinite(img_i).all()
+    np.testing.assert_allclose(img_i, img_f, rtol=1e-4, atol=1e-4)
 
 
 def test_instance_keeps_definition_material():

@@ -52,8 +52,44 @@ def init_state(R, SD, t_max):
     )
 
 
-def mode_iters(levels, R):
+def bounce_rays(scene, rows, n_int, depth, o, d, R):
+    """Turn camera rays into realistic BOUNCE rays: trace to the first hit,
+    then leave from the hit point in a cosine-weighted hemisphere direction
+    around the geometric normal — the ray population the in-loop traversal
+    actually sees at depth >= 1."""
+    t, prim, _ = bvhlib._traverse(rows, n_int, depth, bvhlib.LEAF_K, o, d,
+                                  jnp.full((R,), INFINITY))
+    hit = prim >= 0
+    pc = jnp.maximum(prim, 0)
+    p = o + d * jnp.where(hit, t, 1.0)[:, None]
+    e1 = scene.tri_p1[pc] - scene.tri_p0[pc]
+    e2 = scene.tri_p2[pc] - scene.tri_p0[pc]
+    n = jnp.cross(e1, e2)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    n = jnp.where((jnp.sum(n * d, -1) > 0)[:, None], -n, n)
+    key = jax.random.PRNGKey(7)
+    u = jax.random.uniform(key, (R, 2))
+    r = jnp.sqrt(u[:, 0])
+    phi = 2 * jnp.pi * u[:, 1]
+    loc = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi),
+                     jnp.sqrt(1 - u[:, 0])], -1)
+    up = jnp.where((jnp.abs(n[:, 2]) < 0.9)[:, None],
+                   jnp.array([0.0, 0.0, 1.0]), jnp.array([1.0, 0.0, 0.0]))
+    tx = jnp.cross(up, n)
+    tx = tx / jnp.maximum(jnp.linalg.norm(tx, axis=-1, keepdims=True), 1e-20)
+    ty = jnp.cross(n, tx)
+    d2 = loc[:, 0:1] * tx + loc[:, 1:2] * ty + loc[:, 2:3] * n
+    o2 = p + n * 1e-3
+    # lanes that missed keep their camera ray (small fraction)
+    o2 = jnp.where(hit[:, None], o2, o)
+    d2 = jnp.where(hit[:, None], d2, d)
+    return o2, d2
+
+
+def mode_iters(levels, R, bounce=False):
     scene, rows, n_int, depth, o, d = setup(levels, R)
+    if bounce:
+        o, d = bounce_rays(scene, rows, n_int, depth, o, d, R)
     SD = depth + 2
     make_ctx = bvhlib.make_stepper(rows, n_int, bvhlib.LEAF_K, SD)
     body = make_ctx(o, d)
@@ -112,5 +148,7 @@ if __name__ == "__main__":
     R = int(sys.argv[3]) if len(sys.argv) > 3 else (1 << 14)
     if mode == "iters":
         mode_iters(levels, R)
+    elif mode == "iters-bounce":
+        mode_iters(levels, R, bounce=True)
     else:
         mode_steptime(levels, R)
