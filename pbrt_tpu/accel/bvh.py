@@ -628,9 +628,21 @@ class _StI(NamedTuple):
     it: jnp.ndarray
 
 
-def make_cond(cap):
+def make_cond(cap, next_cap=None):
+    """Loop condition for a ladder rung: keep iterating while any lane is
+    live AND (under the iteration cap OR too many live lanes to fit the
+    next rung's buffer). The second clause makes the ladder OVERFLOW-PROOF:
+    a rung never hands more than `next_cap` live lanes downstream, so the
+    full-width safety loop after the ladder always runs zero iterations.
+    (Measured on TPU: an overflowing ladder dumped ~25% of bounce-ray lanes
+    into the safety loop -> 12.6 s per 262k traversal; see PROFILE §3.)"""
     def cond(st):
-        return jnp.any(st.cur != _DONE) & (st.it < cap)
+        any_live = jnp.any(st.cur != _DONE)
+        under = st.it < cap
+        if next_cap is not None:
+            n_live = jnp.sum((st.cur != _DONE).astype(jnp.int32))
+            return any_live & (under | (n_live > next_cap))
+        return any_live & under
     return cond
 
 
@@ -921,12 +933,16 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
     # the WORST lane, so run a capped full-width stage then compact
     # survivors into geometrically narrower buffers. A rung whose buffer
     # holds no unfinished lanes exits its while_loop after ZERO iterations.
-    # Measured decay on cornell-mesh (tools/probe_bvh.py iters, SAH BVH8):
-    # mean 7.3 iters, 4% live after 8, 1.4% after 128, ~0 after ~12x L_est —
-    # the tail is silhouette-grazing rays crossing O(sqrt(T)/K) leaf cells.
+    # TPU economics (tools/probe_traverse_tpu.py): an iteration costs
+    # ~1.4 ms FIXED + ~60 ns/lane, so wide rungs amortize the floor and the
+    # extreme tail must NOT run hundreds of narrow iterations — it exits
+    # early into the exact dense sweep instead. Every rung's cond keeps
+    # iterating while its live count exceeds the next buffer (overflow-proof
+    # — see make_cond), so the post-ladder safety loop is always a no-op.
     L_est = int(np.sqrt(max(P * K, 1))) // max(K, 1) + stack_depth
     cap1 = jnp.int32(stack_depth + 4)
-    st = jax.lax.while_loop(make_cond(cap1), body, st)
+    first_next = R // 4 if R // 4 >= 64 else None
+    st = jax.lax.while_loop(make_cond(cap1, first_next), body, st)
 
     def compact(st, R_T):
         """Gather the unfinished lanes (stable, unfinished-first) into an
@@ -975,27 +991,38 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
             cur=jnp.where(live2, _DONE, sub.cur),
         )
 
-    ladder = [(4, L_est), (16, 3 * L_est), (64, 8 * L_est)]
+    # dense-finish tail width: enough lanes that the narrow rungs never
+    # grind (budget ~2e8 triangle tests; at 16k tris that's X=8192 lanes,
+    # ~20 ms on the VPU — cheaper than 100 narrow iterations at the floor)
+    X_dense = max(128, min(R, int(2e8 // max(P * K, 1))))
+    ladder = [(4, L_est), (16, 3 * L_est)]
     o_c, d_c = o, d
     frames = []  # (sel, outer_state) to scatter back through
     sub = st
-    for divisor, cap in ladder:
+    for li_, (divisor, cap) in enumerate(ladder):
         R_T = R // divisor
         if R_T < 64 or R_T >= sub.cur.shape[0]:
             continue
+        nxt_cap = R // (ladder[li_ + 1][0]) if li_ + 1 < len(ladder) else (
+            X_dense if not n_inst else None
+        )
+        if nxt_cap is not None and nxt_cap >= R_T:
+            nxt_cap = None
         sel, nxt = compact(sub, R_T)
         frames.append((sel, sub))
         o_c, d_c = o_c[sel], d_c[sel]
         body_c = make_ctx(o_c, d_c)
-        sub = jax.lax.while_loop(make_cond(jnp.int32(cap)), body_c, nxt)
+        sub = jax.lax.while_loop(
+            make_cond(jnp.int32(cap), nxt_cap), body_c, nxt
+        )
     if not n_inst:
-        # exact dense finish for whatever remains, budgeted by scene size.
-        # (Instanced tables skip this: prototype soup rows live in object
-        # space, so a flat world-ray sweep over them would be wrong — the
-        # extreme tail finishes in the capped ladder rung below instead.)
-        X = max(128, min(sub.cur.shape[0], int(3e7 // max(P * K, 1))))
-        if X < sub.cur.shape[0]:
-            sel, nxt = compact(sub, X)
+        # exact dense finish for whatever remains — the extreme tail is
+        # finished in ONE fat sweep instead of hundreds of floor-bound
+        # narrow iterations. (Instanced tables skip this: prototype soup
+        # rows live in object space, so a flat world-ray sweep over them
+        # would be wrong — the tail finishes in the capped rung instead.)
+        if X_dense < sub.cur.shape[0]:
+            sel, nxt = compact(sub, X_dense)
             frames.append((sel, sub))
             o_c, d_c = o_c[sel], d_c[sel]
             sub = nxt

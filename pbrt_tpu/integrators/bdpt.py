@@ -8,14 +8,26 @@ pdf-rewrites (bdpt.cu:288-380) become functional recomputation of the four
 junction pdf_revs per strategy.
 
 Strategy coverage (connect_bdpt, bdpt.cu:612-721):
-  s=0      camera path hits an emitter (path-traced term)
+  s=0      camera path hits an emitter OR escapes to infinite lights
+           (escaped rays become light vertices, bdpt.cu:475-483)
   t=1      light path connected to a sampled lens point -> film splat
   s=1      camera vertex connected to a sampled light point (NEE-like)
   s>1,t>1  general vertex-to-vertex connection with G and visibility
 
-Limitations vs reference (documented gaps, not silent): infinite/distant
-lights participate only via s=0 (no light-subpath start from them), and
-media are not traversed by connection rays.
+Light subpaths start from EVERY light type via lights.sample_le
+(bdpt.cu:531-610 generate_light_subpath), with the reference's
+infinite-area-light density corrections (bdpt.cu:593-609: v0 pdf_fwd =
+infinite_light_density, v1 pdf_fwd = pdf_pos * |cos|) and MIS special
+cases (pdf_light / pdf_light_origin infinite branches, bdpt.cu:86-92,
+221-223). Connection segments run compute_transmittance through
+material-less interfaces and homogeneous media (compute_G,
+bdpt.cu:280-286; base->compute_transmittance at :652,:695), and subpath
+walks pass through interfaces with deterministic transmittance.
+
+Remaining gap vs reference (documented, not silent): no in-medium
+scattering VERTICES on subpaths (bdpt.cu:431-472 VertexType::medium) —
+media attenuate subpaths and connections but phase-scattering path
+contributions come only from the path/MLT integrators.
 """
 import functools
 from typing import NamedTuple
@@ -37,6 +49,8 @@ VT_NONE = 0
 VT_CAMERA = 1
 VT_LIGHT = 2
 VT_SURFACE = 3
+VT_LIGHT_INF = 4   # escaped camera ray captured as an infinite-light vertex
+                   # (reference bdpt.cu:475-483 Vertex::create_light(ray))
 
 
 class V(NamedTuple):
@@ -53,6 +67,10 @@ class V(NamedTuple):
     delta: jnp.ndarray    # (R,) bool (specular connection)
     light: jnp.ndarray    # (R,) i32 light id (emitter surface or endpoint)
     mat: jnp.ndarray      # (R,) i32 material (surface vertices)
+    med: jnp.ndarray      # (R,) i32 medium of the ARRIVAL segment (-1 none)
+    med_in: jnp.ndarray   # (R,) i32 interior medium of the hit surface
+    med_out: jnp.ndarray  # (R,) i32 exterior medium (interface selection
+                          # for connection transmittance, cf. _medium_after)
     wo: jnp.ndarray       # (R,3) direction towards the previous vertex
     # cached BSDF (built once during the walk; connections/pdfs reuse it —
     # rebuilding via make_bsdf per strategy made the traced graph explode)
@@ -86,6 +104,9 @@ def _empty_vertex(R):
         delta=jnp.zeros((R,), bool),
         light=jnp.full((R,), -1, jnp.int32),
         mat=jnp.full((R,), -1, jnp.int32),
+        med=jnp.full((R,), -1, jnp.int32),
+        med_in=jnp.full((R,), -1, jnp.int32),
+        med_out=jnp.full((R,), -1, jnp.int32),
         wo=jnp.zeros((R, 3)),
         bx=zero_bx,
         fx=z.at[..., 0].set(1.0),
@@ -161,25 +182,66 @@ def _vertex_pdf(scene, v: V, prev: V, nxt: V, wl, prev_valid):
     return _convert_density(pdf_dir, v.p, nxt)
 
 
+def _is_inf_vertex(scene, v: V):
+    """Escaped-ray vertices and light endpoints of infinite lights
+    (bdpt.cu is_infinite_light: type==light with no ei.light, or an
+    infinite-typed light)."""
+    from pbrt_tpu.scene import builder as bd
+
+    lt = lights.take_rows(scene.lt_type, jnp.maximum(v.light, 0))
+    is_inf_type = (v.light >= 0) & (
+        (lt == bd.LIGHT_UNIFORM_INFINITE) | (lt == bd.LIGHT_IMAGE_INFINITE)
+    )
+    return (v.vtype == VT_LIGHT_INF) | ((v.vtype == VT_LIGHT) & is_inf_type)
+
+
+def _is_delta_light_v(scene, v: V):
+    """Light endpoints of delta lights (distant direction / spot position)
+    — bdpt.cu:369 is_delta_light()."""
+    from pbrt_tpu.scene import builder as bd
+
+    lt = lights.take_rows(scene.lt_type, jnp.maximum(v.light, 0))
+    return (v.vtype == VT_LIGHT) & (v.light >= 0) & (
+        (lt == bd.LIGHT_DISTANT) | (lt == bd.LIGHT_SPOT)
+    )
+
+
 def _vertex_pdf_light(scene, v: V, nxt: V):
     """pdf of light at v emitting towards nxt, area measure at nxt
-    (bdpt.h Vertex::pdf_light)."""
+    (bdpt.cu:79-122 Vertex::pdf_light). Infinite lights use the planar
+    bounding-disk density 1/(pi r^2) (bdpt.cu:86-92)."""
     w, dist2 = _dir_to(v.p, nxt.p)
     _, pdf_dir = lights.pdf_le(scene, v.light, v.ng, w)
+    pdf = pdf_dir / jnp.maximum(dist2, 1e-24)
+    disk_pdf = 1.0 / (jnp.pi * jnp.maximum(scene.scene_radius ** 2, 1e-12))
+    pdf = jnp.where(_is_inf_vertex(scene, v), disk_pdf, pdf)
     cos = vm.absdot(nxt.ng, w)
     cos = jnp.where(nxt.vtype == VT_SURFACE, cos, jnp.maximum(cos, 1.0))
-    return pdf_dir * cos / jnp.maximum(dist2, 1e-24)
+    return pdf * cos
 
 
-def _vertex_pdf_light_origin(scene, v: V):
-    """pmf(light) * positional pdf (bdpt.h Vertex::pdf_light_origin)."""
+def _vertex_pdf_light_origin(scene, v: V, prev: V, env_ids=()):
+    """pmf(light) * positional pdf; infinite vertices use the summed
+    escaped-direction density (bdpt.cu:212-240 Vertex::pdf_light_origin)."""
+    from pbrt_tpu.scene import builder as bd
+
     li = jnp.maximum(v.light, 0)
     pmf = scene.lt_pmf[li]
+    lt = lights.take_rows(scene.lt_type, li)
     _, _, area, ok = lights._area_shape_sample(
         scene, v.light, jnp.full(v.p.shape[:-1] + (2,), 0.5)
     )
-    pdf_pos = 1.0 / jnp.maximum(area, 1e-12)
-    return jnp.where((v.light >= 0) & ok, pmf * pdf_pos, 0.0)
+    pdf_pos_area = 1.0 / jnp.maximum(area, 1e-12)
+    w, _ = _dir_to(v.p, prev.p)
+    # non-area types: positional density from pdf_le (delta positions
+    # report 0, remap0 handles them — bdpt.cu:226-239)
+    pdf_pos_other, _ = lights.pdf_le(scene, v.light, v.ng, w)
+    is_area = lt == bd.LIGHT_AREA
+    pdf_pos = jnp.where(is_area, pdf_pos_area, pdf_pos_other)
+    base = jnp.where((v.light >= 0) & (ok | ~is_area), pmf * pdf_pos, 0.0)
+    # infinite: density of sampling the escape direction (toward the light)
+    inf_pdf = lights.infinite_light_density(scene, env_ids, -w)
+    return jnp.where(_is_inf_vertex(scene, v), inf_pdf, base)
 
 
 def _remap0(f):
@@ -189,17 +251,64 @@ def _remap0(f):
 # ---------------------------------------------------------------- walks
 
 
-def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps, mode_radiance):
-    """Random walk (bdpt.h random_walk) as a lax.scan — the body compiles
-    once regardless of depth (an unrolled version sent XLA:CPU's optimizer
-    superlinear). Returns (list of per-step V slots, (endpoint_rev_dir,
-    first_vertex), smp)."""
+def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps,
+          mode_radiance, medium0=None):
+    """Random walk (bdpt.cu:394-520 random_walk) as a lax.scan — the body
+    compiles once regardless of depth (an unrolled version sent XLA:CPU's
+    optimizer superlinear). Returns (list of per-step V slots,
+    (endpoint_rev_dir, first_vertex), smp).
+
+    Media handling: segments pass through material-less interfaces
+    (bdpt.cu:411-427) with deterministic homogeneous transmittance folded
+    into beta; escaped camera rays become VT_LIGHT_INF vertices
+    (bdpt.cu:475-483)."""
     R = o.shape[0]
+    has_media = int(scene.med_sigma_a.shape[0]) > 0
+    med0 = (jnp.broadcast_to(jnp.asarray(medium0, jnp.int32), (R,))
+            if medium0 is not None else jnp.full((R,), -1, jnp.int32))
+
+    from pbrt_tpu.integrators.path import _medium_after, _sigma_t
 
     def body(carry, _):
-        beta, pdf_fwd_dir, active, prev_p, cur_o, cur_d, smp = carry
-        hit = dispatch.intersect(scene, cur_o, cur_d, jnp.full((R,), INFINITY))
+        beta, pdf_fwd_dir, active, prev_p, cur_o, cur_d, medium, smp = carry
+        if has_media:
+            # segment walk: cross up to 4 material-less interfaces,
+            # attenuating beta by the homogeneous transmittance of each leg
+            trans = jnp.ones((R, 4))
+            o_h = cur_o
+            med_h = medium
+            done = ~active
+            hit = None
+            for _hop in range(4):
+                t_cap = jnp.where(done, 0.0, INFINITY)
+                h = dispatch.intersect(scene, o_h, cur_d, t_cap)
+                seg = jnp.where(h.valid, h.t, 2.0 * scene.scene_radius)
+                att = jnp.exp(-_sigma_t(scene, med_h, wl.lam)
+                              * jnp.minimum(seg, 1e20)[..., None])
+                trans = jnp.where(done[..., None], trans, trans * att)
+                hit = h if hit is None else jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(
+                        done.reshape(done.shape + (1,) * (a.ndim - 1)), a, b),
+                    hit, h,
+                )
+                is_iface = h.valid & (h.mat < 0) & ~done
+                o_h = jnp.where(
+                    is_iface[..., None],
+                    offset_ray_origin(h.p, h.ng, cur_d, scene.ray_offset_scale),
+                    o_h,
+                )
+                med_h = jnp.where(is_iface, _medium_after(h, cur_d, med_h), med_h)
+                done = done | ~is_iface
+            beta = beta * trans
+            medium = med_h
+        else:
+            hit = dispatch.intersect(
+                scene, cur_o, cur_d, jnp.where(active, INFINITY, 0.0)
+            )
         found = active & hit.valid & (hit.mat >= 0)
+        esc = active & ~hit.valid
+        if has_media:
+            esc = esc & jnp.any(beta > 0, -1)
 
         mat_r = materials.resolve_mix(scene, hit.mat, hit.p, hit.wo)
         b_full, _ = materials.make_bsdf(scene, mat_r, hit.ns, wl, hit.uv, hit.p)
@@ -227,25 +336,37 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps, mode_radia
                                  fx=b_full.fx, fy=b_full.fy, fz=b_full.fz, lay=None)
         rev_dir = jnp.where(spec, 0.0, materials.bsdf_pdf(b_cheap, bs.wi, hit.wo))
 
+        # escaped camera rays become infinite-light vertices: position far
+        # along the ray, pdf_fwd kept in the SOLID-ANGLE measure
+        # (bdpt.cu:475-483 + the infinite-vertex MIS conventions)
+        esc_v = esc & bool(mode_radiance)
+        vtype = jnp.where(
+            found, VT_SURFACE, jnp.where(esc_v, VT_LIGHT_INF, VT_NONE)
+        ).astype(jnp.int32)
+        p_esc = cur_o + cur_d * (4.0 * scene.scene_radius)
         vtx = V(
-            vtype=jnp.where(found, VT_SURFACE, VT_NONE).astype(jnp.int32),
-            p=hit.p,
-            ng=hit.ng,
-            ns=hit.ns,
+            vtype=vtype,
+            p=jnp.where(esc_v[..., None], p_esc, hit.p),
+            ng=jnp.where(esc_v[..., None], -cur_d, hit.ng),
+            ns=jnp.where(esc_v[..., None], -cur_d, hit.ns),
             uv=hit.uv,
-            beta=jnp.where(found[..., None], beta, 0.0),
-            pdf_fwd=pdf_fwd,
+            beta=jnp.where((found | esc_v)[..., None], beta, 0.0),
+            pdf_fwd=jnp.where(esc_v, pdf_fwd_dir, pdf_fwd),
             pdf_rev=jnp.zeros((R,)),
             delta=found & spec,
             light=jnp.where(found, hit.light, -1),
             mat=jnp.where(found, hit.mat, -1),
-            wo=hit.wo,
+            med=jnp.where(found, medium, -1),
+            med_in=jnp.where(found, hit.med_in, -1),
+            med_out=jnp.where(found, hit.med_out, -1),
+            wo=jnp.where(esc_v[..., None], -cur_d, hit.wo),
             bx=b_full.params,
             fx=b_full.fx,
             fy=b_full.fy,
             fz=b_full.fz,
         )
 
+        med_next = jnp.where(cont, _medium_after(hit, bs.wi, medium), medium)
         new_carry = (
             jnp.where(cont[..., None], beta_next, beta),
             jnp.where(spec, 0.0, bs.pdf),
@@ -253,12 +374,13 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps, mode_radia
             hit.p,
             offset_ray_origin(hit.p, hit.ng, bs.wi, scene.ray_offset_scale),
             bs.wi,
+            med_next,
             smp,
         )
         return new_carry, (vtx, rev_dir)
 
     active0 = jnp.any(beta0 > 0, -1) & (pdf_dir0 > 0)
-    carry0 = (beta0, pdf_dir0, active0, o, o, d, smp)
+    carry0 = (beta0, pdf_dir0, active0, o, o, d, med0, smp)
     carry, (stacked, rev_dirs) = jax.lax.scan(body, carry0, None, length=n_steps)
     smp = carry[-1]
 
@@ -271,8 +393,10 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps, mode_radia
     dist2 = jnp.sum(w * w, axis=-1)
     w = w / jnp.sqrt(jnp.maximum(dist2, 1e-24))[..., None]
     cos = jnp.abs(jnp.sum(cur_ng * w, axis=-1))
+    # only SURFACE successors contribute a bsdf reverse pdf; escape slots
+    # carry garbage bs state (the s=0 MIS recomputes endpoint revs itself)
     pdf_rev_fill = jnp.where(
-        nxt.vtype != VT_NONE, rev_dirs[1:] * cos / jnp.maximum(dist2, 1e-24), 0.0
+        nxt.vtype == VT_SURFACE, rev_dirs[1:] * cos / jnp.maximum(dist2, 1e-24), 0.0
     )
     pdf_rev = jnp.concatenate([pdf_rev_fill, jnp.zeros((1, R))], axis=0)
     stacked = stacked._replace(pdf_rev=pdf_rev)
@@ -284,7 +408,8 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps, mode_radia
 
 
 def camera_path(scene, p_film, smp, wl, max_depth, skind, spp):
-    """Camera subpath: [camera vertex] + up to max_depth+1 surface vertices."""
+    """Camera subpath: [camera vertex] + up to max_depth+1 surface vertices
+    (escaped rays append a VT_LIGHT_INF endpoint)."""
     R = p_film.shape[0]
     rays = perspective.generate_rays(scene, p_film, jnp.zeros((R, 2)))
     cam_v = _empty_vertex(R)._replace(
@@ -292,11 +417,12 @@ def camera_path(scene, p_film, smp, wl, max_depth, skind, spp):
         p=rays.o,
         beta=jnp.ones((R, 4)),
         pdf_fwd=jnp.ones((R,)),
+        med=jnp.broadcast_to(jnp.asarray(scene.camera_medium, jnp.int32), (R,)),
     )
     _, pdf_dir = perspective.pdf_we(scene, rays.o, rays.d)
     surf, (ep_rev, first_v), smp = _walk(
         scene, rays.o, rays.d, jnp.ones((R, 4)), pdf_dir, wl, smp,
-        skind, spp, max_depth + 1, True,
+        skind, spp, max_depth + 1, True, medium0=scene.camera_medium,
     )
     if first_v is not None:
         w, dist2 = _dir_to(first_v.p, cam_v.p)
@@ -306,8 +432,12 @@ def camera_path(scene, p_film, smp, wl, max_depth, skind, spp):
     return [cam_v] + surf, smp
 
 
-def light_path(scene, smp, wl, max_depth, skind, spp):
-    """Light subpath: [light vertex] + up to max_depth surface vertices."""
+def light_path(scene, smp, wl, max_depth, skind, spp, env_ids=()):
+    """Light subpath: [light vertex] + up to max_depth surface vertices
+    (bdpt.cu:531-610 generate_light_subpath, EVERY light type via
+    sample_le, with the infinite-area density corrections of :593-609)."""
+    from pbrt_tpu.scene import builder as bd
+
     smp, u_pick = samplers.get_1d(smp, None, skind, spp)
     cdf = jnp.cumsum(scene.lt_pmf)
     li = jnp.clip(
@@ -320,13 +450,22 @@ def light_path(scene, smp, wl, max_depth, skind, spp):
     Le, p, ng, w, pdf_pos, pdf_dir, ok = lights.sample_le(scene, li, u_pos, u_dir, wl.lam)
 
     R = p.shape[0]
+    lt = lights.take_rows(scene.lt_type, li)
+    is_inf = (lt == bd.LIGHT_UNIFORM_INFINITE) | (lt == bd.LIGHT_IMAGE_INFINITE)
+    # infinite starts: v0's spatial density is the summed escape-direction
+    # density (bdpt.cu:603-609)
+    pdf_fwd0 = jnp.where(
+        is_inf,
+        lights.infinite_light_density(scene, env_ids, -w),
+        pmf * pdf_pos,
+    )
     light_v = _empty_vertex(R)._replace(
         vtype=jnp.where(ok, VT_LIGHT, VT_NONE).astype(jnp.int32),
         p=p,
         ng=ng,
         ns=ng,
         beta=jnp.where(ok[..., None], Le / jnp.maximum(pmf * pdf_pos, 1e-20)[..., None], 0.0),
-        pdf_fwd=jnp.where(ok, pmf * pdf_pos, 0.0),
+        pdf_fwd=jnp.where(ok, pdf_fwd0, 0.0),
         light=jnp.where(ok, li, -1),
     )
     beta0 = (
@@ -348,13 +487,21 @@ def light_path(scene, smp, wl, max_depth, skind, spp):
                 _exists(first_v), ep_rev * cos_l / jnp.maximum(dist2, 1e-24), 0.0
             )
         )
+        # infinite starts: v1's spatial density is planar, pdf_pos * |cos|
+        # (bdpt.cu:595-601), not the distance-squared conversion
+        pdf1_inf = pdf_pos * vm.absdot(w, first_v.ng)
+        surf[0] = first_v._replace(
+            pdf_fwd=jnp.where(
+                is_inf & _exists(first_v), pdf1_inf, first_v.pdf_fwd
+            )
+        )
     return [light_v] + surf, smp
 
 
 # ---------------------------------------------------------------- MIS
 
 
-def _mis_weight(scene, light_vs, cam_vs, s, t, wl, sampled_v=None):
+def _mis_weight(scene, light_vs, cam_vs, s, t, wl, sampled_v=None, env_ids=()):
     """MIS weight for strategy (s,t) (bdpt.cu:288-380): recompute the
     junction pdf_revs functionally, then the ri pdf-ratio walks."""
     if s + t == 2:
@@ -377,7 +524,7 @@ def _mis_weight(scene, light_vs, cam_vs, s, t, wl, sampled_v=None):
             qs.vtype == VT_LIGHT, _vertex_pdf_light(scene, qs, pt), pt_rev
         )
     else:
-        pt_rev = _vertex_pdf_light_origin(scene, pt)
+        pt_rev = _vertex_pdf_light_origin(scene, pt, pt_minus, env_ids)
     pt = pt._replace(pdf_rev=pt_rev)
 
     # pt_minus.pdf_rev
@@ -418,11 +565,13 @@ def _mis_weight(scene, light_vs, cam_vs, s, t, wl, sampled_v=None):
         prev_delta = cam_eff[i - 1].delta if i - 1 > 0 else jnp.zeros((R,), bool)
         usable = ~cam_eff[i].delta & ~prev_delta & _exists(cam_eff[i])
         sum_ri = sum_ri + jnp.where(usable, ri, 0.0)
-    # light walk: i = s-1 .. 0
+    # light walk: i = s-1 .. 0 (i == 0 checks the ENDPOINT's delta-light
+    # flag: distant/spot starts admit no hypothetical hit — bdpt.cu:367-373)
     ri = jnp.ones((R,))
     for i in range(s - 1, -1, -1):
         ri = ri * _remap0(light_eff[i].pdf_rev) / _remap0(light_eff[i].pdf_fwd)
-        prev_delta = light_eff[i - 1].delta if i - 1 >= 0 else jnp.zeros((R,), bool)
+        prev_delta = (light_eff[i - 1].delta if i - 1 >= 0
+                      else _is_delta_light_v(scene, light_eff[0]))
         usable = ~light_eff[i].delta & ~prev_delta & _exists(light_eff[i])
         sum_ri = sum_ri + jnp.where(usable, ri, 0.0)
 
@@ -432,42 +581,65 @@ def _mis_weight(scene, light_vs, cam_vs, s, t, wl, sampled_v=None):
 # ---------------------------------------------------------------- connect
 
 
-def _g_term(scene, a: V, b_v: V):
-    """Geometry term with visibility (bdpt.cu G())."""
+def _conn_medium(a: V, w):
+    """Medium on the w side of vertex a (interaction spawn_ray_to medium
+    selection, mirroring path._medium_after)."""
+    has_iface = a.med_in != a.med_out
+    chosen = jnp.where(vm.dot(w, a.ng) > 0.0, a.med_out, a.med_in)
+    return jnp.where(has_iface, chosen, a.med)
+
+
+def _segment_throughput(scene, a: V, p_to, wl):
+    """Visibility OR transmittance of the segment a -> p_to: (R,4)
+    (reference compute_G's base->compute_transmittance, bdpt.cu:285;
+    integrator_base.cu:22-71). Without media this is the binary any-hit."""
+    w, dist2 = _dir_to(a.p, p_to)
+    if int(scene.med_sigma_a.shape[0]) > 0:
+        from pbrt_tpu.integrators.path import compute_transmittance
+
+        return compute_transmittance(
+            scene, a.p, a.ng, w, p_to, _conn_medium(a, w),
+            scene.ray_offset_scale, wl.lam,
+        )
+    o_sh = offset_ray_origin(a.p, a.ng, w, scene.ray_offset_scale)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
+    occ = dispatch.occluded(scene, o_sh, w, dist * (1.0 - 1e-3))
+    return jnp.where(occ[..., None], 0.0, 1.0)
+
+
+def _g_term(scene, a: V, b_v: V, wl):
+    """Geometry term with visibility/transmittance (bdpt.cu:271-286
+    compute_G). Returns (R,4)."""
     w, dist2 = _dir_to(a.p, b_v.p)
     cos_a = vm.absdot(a.ns, w)
     cos_b = vm.absdot(b_v.ns, w)
     cos_a = jnp.where(a.vtype == VT_SURFACE, cos_a, 1.0)
     cos_b = jnp.where(b_v.vtype == VT_SURFACE, cos_b, 1.0)
     g = cos_a * cos_b / jnp.maximum(dist2, 1e-24)
-    o_sh = offset_ray_origin(a.p, a.ng, w, scene.ray_offset_scale)
-    dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
-    occ = dispatch.occluded(scene, o_sh, w, dist * (1.0 - 1e-3))
-    return jnp.where(occ, 0.0, g)
+    return g[..., None] * _segment_throughput(scene, a, b_v.p, wl)
 
 
-def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp):
+def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp, env_ids=()):
     """One (s,t) strategy (bdpt.cu connect_bdpt:612-721).
     Returns (L (R,4), splat_raster (R,2) or None, smp)."""
     R = cam_vs[0].p.shape[0]
     zero = jnp.zeros((R, 4))
     raster = None
 
-    if t > 1 and s != 0:
-        # skip strategies whose camera endpoint is itself an emitter? the
-        # reference keeps them but zeroes via Le; we keep them too
-        pass
-
     if s == 0:
-        # camera path alone: pt must be an emitter
+        # camera path alone: pt is an emitter surface OR an escaped
+        # infinite-light vertex (bdpt.cu:629-637 + Vertex::Le:180-209)
         pt = cam_vs[t - 1]
         prev = cam_vs[t - 2]
         w_out, _ = _dir_to(pt.p, prev.p)
         Le = lights.area_light_le(scene, pt.light, pt.ng, w_out, wl.lam)
+        if env_ids or int(scene.lt_type.shape[0]) > 0:
+            Le_inf = lights.infinite_le(scene, env_ids, -w_out, wl.lam)
+            Le = jnp.where((pt.vtype == VT_LIGHT_INF)[..., None], Le_inf, Le)
         L = pt.beta * Le
-        ok = _exists(pt) & (pt.light >= 0)
+        ok = _exists(pt) & ((pt.light >= 0) | (pt.vtype == VT_LIGHT_INF))
         L = jnp.where(ok[..., None], L, 0.0)
-        weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl)
+        weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl, env_ids=env_ids)
         return L * weight[..., None], None, smp
 
     if t == 1:
@@ -478,11 +650,10 @@ def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp):
         f_qs = _vertex_f(scene, qs, _empty_vertex(R)._replace(p=p_lens), wl)
         ns_cos = vm.absdot(qs.ns, wi)
         L = qs.beta * f_qs * (wv / jnp.maximum(pdf, 1e-12))[..., None] * ns_cos[..., None]
-        # visibility
-        o_sh = offset_ray_origin(qs.p, qs.ng, wi, scene.ray_offset_scale)
-        dist = vm.distance(o_sh, p_lens)
-        occ = dispatch.occluded(scene, o_sh, wi, dist * (1.0 - 1e-3))
-        ok = _is_connectible(qs) & cam_ok & ~occ & jnp.any(f_qs > 0, -1)
+        # visibility / transmittance along the lens segment (bdpt.cu:652)
+        trans = _segment_throughput(scene, qs, p_lens, wl)
+        L = L * trans
+        ok = _is_connectible(qs) & cam_ok & jnp.any(f_qs > 0, -1)
         L = jnp.where(ok[..., None], L, 0.0)
         cam_sampled = _empty_vertex(R)._replace(
             vtype=jnp.full((R,), VT_CAMERA, jnp.int32),
@@ -490,7 +661,8 @@ def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp):
             beta=(wv / jnp.maximum(pdf, 1e-12))[..., None] * jnp.ones((R, 4)),
             pdf_fwd=jnp.ones((R,)),
         )
-        weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl, sampled_v=cam_sampled)
+        weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl,
+                             sampled_v=cam_sampled, env_ids=env_ids)
         return L * weight[..., None], p_raster, smp
 
     if s == 1:
@@ -514,10 +686,10 @@ def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp):
             * ls.L
             / jnp.maximum(pmf * ls.pdf, 1e-20)[..., None]
         )
-        o_sh = offset_ray_origin(pt.p, pt.ng, ls.wi, scene.ray_offset_scale)
-        dist = vm.distance(o_sh, ls.p_light)
-        occ = dispatch.occluded(scene, o_sh, ls.wi, dist * (1.0 - 1e-3))
-        ok = _is_connectible(pt) & ls.valid & ~occ & jnp.any(f_pt > 0, -1) & (ls.pdf > 0)
+        # visibility / transmittance along the light segment (bdpt.cu:695)
+        trans = _segment_throughput(scene, pt, ls.p_light, wl)
+        L = L * trans
+        ok = _is_connectible(pt) & ls.valid & jnp.any(f_pt > 0, -1) & (ls.pdf > 0)
         L = jnp.where(ok[..., None], L, 0.0)
         light_sampled = _empty_vertex(R)._replace(
             vtype=jnp.full((R,), VT_LIGHT, jnp.int32),
@@ -525,12 +697,13 @@ def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp):
             ng=ls.n_light,
             ns=ls.n_light,
             beta=ls.L / jnp.maximum(pmf * ls.pdf, 1e-20)[..., None],
-            pdf_fwd=_vertex_pdf_light_origin(
-                scene, _empty_vertex(R)._replace(light=li, p=ls.p_light)
-            ),
             light=li,
         )
-        weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl, sampled_v=light_sampled)
+        light_sampled = light_sampled._replace(
+            pdf_fwd=_vertex_pdf_light_origin(scene, light_sampled, pt, env_ids),
+        )
+        weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl,
+                             sampled_v=light_sampled, env_ids=env_ids)
         return L * weight[..., None], None, smp
 
     # general s>1, t>1 connection
@@ -538,33 +711,38 @@ def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp):
     pt = cam_vs[t - 1]
     f_qs = _vertex_f(scene, qs, pt, wl)
     f_pt = _vertex_f(scene, pt, qs, wl)
-    g = _g_term(scene, qs, pt)
-    L = qs.beta * f_qs * f_pt * pt.beta * g[..., None]
+    g = _g_term(scene, qs, pt, wl)
+    L = qs.beta * f_qs * f_pt * pt.beta * g
     ok = _is_connectible(qs) & _is_connectible(pt) & jnp.any(f_qs > 0, -1) & jnp.any(f_pt > 0, -1)
     L = jnp.where(ok[..., None], L, 0.0)
-    weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl)
+    weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl, env_ids=env_ids)
     return L * weight[..., None], None, smp
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth", "skind", "spp"))
-def _jit_paths(scene, p_film, smp, wl, *, max_depth, skind, spp):
+@functools.partial(jax.jit,
+                   static_argnames=("max_depth", "skind", "spp", "env_ids"))
+def _jit_paths(scene, p_film, smp, wl, *, max_depth, skind, spp, env_ids=()):
     cam_vs, smp = camera_path(scene, p_film, smp, wl, max_depth, skind, spp)
-    light_vs, smp = light_path(scene, smp, wl, max_depth, skind, spp)
+    light_vs, smp = light_path(scene, smp, wl, max_depth, skind, spp, env_ids)
     return cam_vs, light_vs, smp
 
 
-@functools.partial(jax.jit, static_argnames=("s", "t", "skind", "spp"))
-def _jit_connect(scene, light_vs, cam_vs, wl, smp, *, s, t, skind, spp):
-    return connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp)
+@functools.partial(jax.jit,
+                   static_argnames=("s", "t", "skind", "spp", "env_ids"))
+def _jit_connect(scene, light_vs, cam_vs, wl, smp, *, s, t, skind, spp,
+                 env_ids=()):
+    return connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp, env_ids)
 
 
-def li_bdpt_staged(scene, p_film, smp, wl, max_depth, skind, spp, res):
+def li_bdpt_staged(scene, p_film, smp, wl, max_depth, skind, spp, res,
+                   env_ids=()):
     """BDPT estimate with per-stage jits: one compiled artifact per (s,t)
     strategy instead of one monolithic graph (XLA:CPU's optimization passes
     go superlinear on the merged version). Arrays stay on device between
     stages."""
     cam_vs, light_vs, smp = _jit_paths(
-        scene, p_film, smp, wl, max_depth=max_depth, skind=skind, spp=spp
+        scene, p_film, smp, wl, max_depth=max_depth, skind=skind, spp=spp,
+        env_ids=tuple(env_ids),
     )
     R = p_film.shape[0]
     L = jnp.zeros((R, 4))
@@ -577,7 +755,8 @@ def li_bdpt_staged(scene, p_film, smp, wl, max_depth, skind, spp, res):
             if t == 1 and st < 2:
                 continue
             Lst, raster, smp = _jit_connect(
-                scene, light_vs, cam_vs, wl, smp, s=st, t=t, skind=skind, spp=spp
+                scene, light_vs, cam_vs, wl, smp, s=st, t=t, skind=skind,
+                spp=spp, env_ids=tuple(env_ids),
             )
             if t == 1:
                 px = jnp.clip(raster[..., 0].astype(jnp.int32), 0, res[0] - 1)
@@ -588,12 +767,13 @@ def li_bdpt_staged(scene, p_film, smp, wl, max_depth, skind, spp, res):
     return L, splats
 
 
-def li_bdpt(scene, p_film, pixel_ids, smp, wl, max_depth, skind, spp, res):
+def li_bdpt(scene, p_film, pixel_ids, smp, wl, max_depth, skind, spp, res,
+            env_ids=()):
     """Full BDPT estimate for a batch of film positions.
     Returns (L (R,4), splat_pixels (K,R) ids, splat_L list) — splats are
     returned per-strategy for the caller to scatter-add."""
     cam_vs, smp = camera_path(scene, p_film, smp, wl, max_depth, skind, spp)
-    light_vs, smp = light_path(scene, smp, wl, max_depth, skind, spp)
+    light_vs, smp = light_path(scene, smp, wl, max_depth, skind, spp, env_ids)
 
     R = p_film.shape[0]
     L = jnp.zeros((R, 4))
@@ -607,7 +787,9 @@ def li_bdpt(scene, p_film, pixel_ids, smp, wl, max_depth, skind, spp, res):
                 continue
             if t == 1 and s < 2:
                 continue  # t=1,s<2 covered by other strategies
-            Lst, raster, smp = connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp)
+            Lst, raster, smp = connect(
+                scene, light_vs, cam_vs, s, t, wl, smp, skind, spp, env_ids
+            )
             if t == 1:
                 px = jnp.clip(raster[..., 0].astype(jnp.int32), 0, res[0] - 1)
                 py = jnp.clip(raster[..., 1].astype(jnp.int32), 0, res[1] - 1)

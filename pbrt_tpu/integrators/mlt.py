@@ -142,7 +142,8 @@ def eval_x_bdpt(scene, x, *, max_depth, res_x, res_y, env_ids=(), volumetric=Fal
     smp = samplers.from_primary_samples(x)
     smp = smp._replace(dim=jnp.full((R,), 3, jnp.uint32))
     L, splats = bdpt_mod.li_bdpt_staged(
-        scene, p_film, smp, wl, max_depth, "mlt", 0, (res_x, res_y)
+        scene, p_film, smp, wl, max_depth, "mlt", 0, (res_x, res_y),
+        env_ids=env_ids,
     )
     pix_main = (
         jnp.clip(py.astype(jnp.int32), 0, res_y - 1) * res_x
@@ -196,7 +197,8 @@ def render_mlt_bdpt(scene, meta, n_chains=N_CHAINS, n_bootstrap=None, seed=0,
     D = 16 + 16 * (meta.max_depth + 2)
     n_bootstrap = n_bootstrap or max(n_chains * 4, 1 << 16)
     key = jax.random.PRNGKey(seed)
-    kw = dict(max_depth=meta.max_depth, res_x=res_x, res_y=res_y)
+    kw = dict(max_depth=meta.max_depth, res_x=res_x, res_y=res_y,
+              env_ids=tuple(meta.env_light_ids))
 
     ys, xs = [], []
     for _ in range(max(1, n_bootstrap // n_chains)):

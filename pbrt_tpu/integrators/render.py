@@ -65,7 +65,7 @@ def _add_splat(film, pix, L, lam, pdf):
 
 
 def render_bdpt_sample(scene, film, pixel_ids, sample_idx, *, max_depth, res,
-                       sampler_kind, spp, filter_kind):
+                       sampler_kind, spp, filter_kind, env_ids=()):
     """One BDPT sample per pixel (staged jits; see bdpt.li_bdpt_staged)."""
     from pbrt_tpu.integrators import bdpt as bdpt_mod
 
@@ -74,7 +74,8 @@ def render_bdpt_sample(scene, film, pixel_ids, sample_idx, *, max_depth, res,
         spp=spp, filter_kind=filter_kind,
     )
     L, splats = bdpt_mod.li_bdpt_staged(
-        scene, p_film, r, wl, max_depth, sampler_kind, spp, res
+        scene, p_film, r, wl, max_depth, sampler_kind, spp, res,
+        env_ids=env_ids,
     )
     film = _add_film(film, pixel_ids, L, wl.lam, wl.pdf, weight)
     for pix, Ls in splats:
@@ -259,6 +260,7 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False,
                     scene, film, ids, s, max_depth=meta.max_depth,
                     res=(res_x, res_y), sampler_kind=meta.sampler,
                     spp=meta.spp, filter_kind=meta.filter_kind,
+                    env_ids=meta.env_light_ids,
                 )
                 continue
             film = render_sample_batch(

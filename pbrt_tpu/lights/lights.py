@@ -582,13 +582,32 @@ def _area_shape_sample(scene, light_idx, u2):
 
 
 def sample_le(scene, light_idx, u_pos, u_dir, lam):
-    """Emit a photon ray from light light_idx.
+    """Emit a photon ray from light light_idx (BDPT light-subpath start).
     -> (Le (R,4), p (R,3), ng (R,3), w (R,3), pdf_pos (R,), pdf_dir (R,),
-        valid (R,))."""
+        valid (R,)).
+
+    Covers every light type the builder emits (reference sample_le impls:
+    diffuse_area_light.cu, distant_light.cu, uniform/image_infinite_light.cu,
+    spot_light.cu). Distant/infinite rays start on a disk of the scene's
+    bounding sphere perpendicular to the emission direction (pdf_pos =
+    1/(pi r^2)); delta quantities (distant direction, spot position) report
+    pdf 1 so betas divide cleanly, with the delta handled by the caller's
+    MIS flags."""
     li = jnp.maximum(light_idx, 0)
-    is_area = take_rows(scene.lt_type, li) == bd.LIGHT_AREA
+    ltype = take_rows(scene.lt_type, li)
+    is_area = ltype == bd.LIGHT_AREA
+    is_distant = ltype == bd.LIGHT_DISTANT
+    is_uniform = ltype == bd.LIGHT_UNIFORM_INFINITE
+    is_env = ltype == bd.LIGHT_IMAGE_INFINITE
+    is_spot = ltype == bd.LIGHT_SPOT
+    em = emission(scene, light_idx, lam)
+    radius = scene.scene_radius
+    center = scene.scene_center
+    disk_pdf = 1.0 / (jnp.pi * jnp.maximum(radius * radius, 1e-12))
+
+    # ---- area emitters (cosine-hemisphere emission off the shape)
     p, ng, area, shape_ok = _area_shape_sample(scene, light_idx, u_pos)
-    pdf_pos = 1.0 / jnp.maximum(area, 1e-12)
+    pdf_pos_a = 1.0 / jnp.maximum(area, 1e-12)
 
     two = take_rows(scene.lt_twosided, li)
     u0 = u_dir[..., 0]
@@ -599,30 +618,153 @@ def sample_le(scene, light_idx, u_pos, u_dir, lam):
         jnp.stack([u0r, u_dir[..., 1]], axis=-1)
     )
     w_local = jnp.where(flipside[..., None], w_local * jnp.asarray([1.0, 1.0, -1.0]), w_local)
-    pdf_dir = warps.cosine_hemisphere_pdf(jnp.abs(w_local[..., 2]))
-    pdf_dir = jnp.where(two, pdf_dir / 2.0, pdf_dir)
+    pdf_dir_a = warps.cosine_hemisphere_pdf(jnp.abs(w_local[..., 2]))
+    pdf_dir_a = jnp.where(two, pdf_dir_a / 2.0, pdf_dir_a)
     fx, fy, fz = vm.frame_from_z(ng)
-    w = vm.from_local(fx, fy, fz, w_local)
-
-    Le = emission(scene, light_idx, lam)
+    w_a = vm.from_local(fx, fy, fz, w_local)
     front = w_local[..., 2] > 0.0
-    Le = jnp.where((front | two)[..., None], Le, 0.0)
-    valid = is_area & shape_ok & (pdf_dir > 0.0) & (light_idx >= 0)
+    Le_a = jnp.where((front | two)[..., None], em, 0.0)
+
+    # ---- emission direction for the non-area types
+    # distant: fixed -lt_direction; uniform-inf: uniform sphere; image-inf:
+    # alias-table env direction (negated); spot: uniform cone around axis
+    wi_toward = take_rows(scene.lt_direction, li)        # distant: toward light
+    w_dist = -wi_toward
+    w_unif = warps.sample_uniform_sphere(u_dir)
+    if int(scene.env_data.shape[0]) > 1:
+        L_e, wi_e, pdf_e, _ = env_sample_li(
+            scene, li, jnp.zeros_like(p), u_dir, lam, radius
+        )
+    else:
+        L_e, wi_e, pdf_e = em, -w_unif, jnp.full_like(u0, warps.UNIFORM_SPHERE_PDF)
+    w_env = -wi_e
+    # spot cone (uniform in [cos_end, 1], reference spot_light.cu sample_le)
+    cos_end = take_rows(scene.lt_cos_end, li)
+    cos_t = (1.0 - u_dir[..., 0]) + u_dir[..., 0] * cos_end
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * jnp.pi * u_dir[..., 1]
+    axis = take_rows(scene.lt_direction, li)
+    ax_x, ax_y, ax_z = vm.frame_from_z(axis)
+    w_spot = (ax_x * (sin_t * jnp.cos(phi))[..., None]
+              + ax_y * (sin_t * jnp.sin(phi))[..., None]
+              + ax_z * cos_t[..., None])
+    pdf_cone = 1.0 / (2.0 * jnp.pi * jnp.maximum(1.0 - cos_end, 1e-9))
+    from pbrt_tpu.utils.math import smoothstep
+
+    falloff = smoothstep(cos_t, cos_end, take_rows(scene.lt_cos_start, li))
+    Le_spot = em * falloff[..., None]
+
+    w = jnp.where(
+        is_area[..., None], w_a,
+        jnp.where(is_distant[..., None], w_dist,
+                  jnp.where(is_env[..., None], w_env,
+                            jnp.where(is_spot[..., None], w_spot, w_unif))))
+
+    # ---- origin: area shapes sample the shape; distant/infinite sample a
+    # disk of the bounding sphere facing the emission direction; spot is
+    # the (delta) light position
+    dx, dy, dz = vm.frame_from_z(w)
+    cd = warps.sample_uniform_disk_concentric(u_pos)
+    p_disk = (center[None, :] + radius * (-w)
+              + radius * (dx * cd[..., 0:1] + dy * cd[..., 1:2]))
+    p = jnp.where(is_area[..., None], p,
+                  jnp.where(is_spot[..., None],
+                            take_rows(scene.lt_position, li), p_disk))
+    ng = jnp.where(is_area[..., None], ng, w)
+
+    Le = jnp.where(
+        is_area[..., None], Le_a,
+        jnp.where(is_spot[..., None], Le_spot,
+                  jnp.where(is_env[..., None], L_e, em)))
+    pdf_pos = jnp.where(is_area, pdf_pos_a,
+                        jnp.where(is_spot, 1.0, disk_pdf))
+    pdf_dir = jnp.where(
+        is_area, pdf_dir_a,
+        jnp.where(is_distant, 1.0,
+                  jnp.where(is_uniform, warps.UNIFORM_SPHERE_PDF,
+                            jnp.where(is_env, pdf_e, pdf_cone))))
+    valid = (light_idx >= 0) & (pdf_dir > 0.0) & jnp.where(
+        is_area, shape_ok & (pdf_dir_a > 0.0), True
+    )
     return Le, p, ng, w, pdf_pos, pdf_dir, valid
 
 
 def pdf_le(scene, light_idx, ng, w):
-    """(pdf_pos, pdf_dir) for an emitted ray (diffuse_area_light.cu:123-128)."""
+    """(pdf_pos, pdf_dir) for an emitted ray (reference pdf_le impls:
+    diffuse_area_light.cu:123-128; distant/infinite lights use the
+    bounding-disk positional density, delta quantities pdf 0)."""
     li = jnp.maximum(light_idx, 0)
+    ltype = take_rows(scene.lt_type, li)
+    is_area = ltype == bd.LIGHT_AREA
+    is_distant = ltype == bd.LIGHT_DISTANT
+    is_uniform = ltype == bd.LIGHT_UNIFORM_INFINITE
+    is_env = ltype == bd.LIGHT_IMAGE_INFINITE
+    is_spot = ltype == bd.LIGHT_SPOT
+    radius = scene.scene_radius
+    disk_pdf = 1.0 / (jnp.pi * jnp.maximum(radius * radius, 1e-12))
+
     _, _, area, _ = _area_shape_sample(
         scene, light_idx, jnp.full(ng.shape[:-1] + (2,), 0.5)
     )
-    pdf_pos = 1.0 / jnp.maximum(area, 1e-12)
+    pdf_pos_a = 1.0 / jnp.maximum(area, 1e-12)
     two = take_rows(scene.lt_twosided, li)
     cosw = vm.dot(ng, w)
-    pdf_dir = jnp.where(
+    pdf_dir_a = jnp.where(
         two,
         warps.cosine_hemisphere_pdf(jnp.abs(cosw)) / 2.0,
         warps.cosine_hemisphere_pdf(jnp.maximum(cosw, 0.0)),
     )
+    # image-infinite: env density of the direction TOWARD the light (-w)
+    if int(scene.env_data.shape[0]) > 1:
+        pdf_env = env_pdf_li(scene, li, -w)
+    else:
+        pdf_env = jnp.full_like(pdf_dir_a, warps.UNIFORM_SPHERE_PDF)
+    cos_end = take_rows(scene.lt_cos_end, li)
+    cos_spot = vm.dot(take_rows(scene.lt_direction, li), w)
+    pdf_cone = jnp.where(
+        cos_spot >= cos_end,
+        1.0 / (2.0 * jnp.pi * jnp.maximum(1.0 - cos_end, 1e-9)), 0.0,
+    )
+
+    pdf_pos = jnp.where(is_area, pdf_pos_a,
+                        jnp.where(is_spot, 0.0, disk_pdf))
+    pdf_dir = jnp.where(
+        is_area, pdf_dir_a,
+        jnp.where(is_distant, 0.0,
+                  jnp.where(is_uniform, warps.UNIFORM_SPHERE_PDF,
+                            jnp.where(is_env, pdf_env, pdf_cone))))
     return pdf_pos, pdf_dir
+
+
+def infinite_light_density(scene, env_ids, w_toward):
+    """Sum over infinite lights of pmf * pdf_li(w_toward) (reference
+    bdpt.cu:67-76 infinite_light_density; w_toward points AT the lights,
+    i.e. along the escaping ray)."""
+    R = w_toward.shape[:-1]
+    pdf = jnp.zeros(R)
+    if int(scene.lt_type.shape[0]) > 0:
+        is_uinf = scene.lt_type == bd.LIGHT_UNIFORM_INFINITE
+        pmf_uinf = jnp.sum(jnp.where(is_uinf, scene.lt_pmf, 0.0))
+        pdf = pdf + pmf_uinf * uniform_infinite_pdf_li()
+    for env_id in env_ids:
+        li_arr = jnp.full(R, env_id, jnp.int32)
+        pdf = pdf + scene.lt_pmf[env_id] * env_pdf_li(scene, li_arr, w_toward)
+    return pdf
+
+
+def infinite_le(scene, env_ids, d, lam):
+    """Total radiance from all infinite lights along escaped direction d
+    (reference Vertex::Le infinite branch, bdpt.cu:192-203)."""
+    R = d.shape[:-1]
+    from pbrt_tpu.spectral import spectra
+
+    Le = jnp.zeros(R + lam.shape[-1:])
+    if int(scene.lt_type.shape[0]) > 0:
+        is_uinf = scene.lt_type == bd.LIGHT_UNIFORM_INFINITE
+        em_all = scene.lt_emission * scene.lt_scale[:, None]
+        uinf_dense = jnp.sum(jnp.where(is_uinf[:, None], em_all, 0.0), axis=0)
+        Le = Le + spectra.sample_dense(uinf_dense, lam)
+    for env_id in env_ids:
+        li_arr = jnp.full(R, env_id, jnp.int32)
+        Le = Le + env_le(scene, li_arr, d, lam)
+    return Le

@@ -158,6 +158,8 @@ class SceneArrays(NamedTuple):
     camera_res: jnp.ndarray           # (2,) i32 (we() raster bounds test)
     # constants
     scene_radius: jnp.ndarray    # ()
+    scene_center: jnp.ndarray    # (3,) bounding-sphere center (sample_le
+                                 # disk origin for distant/infinite lights)
     ray_offset_scale: jnp.ndarray  # () epsilon used to offset spawned rays
 
 
@@ -744,6 +746,7 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         camera_cos_total=jnp.asarray(cos_total, jnp.float32),
         camera_res=jnp.asarray(np.array(resolution, np.int32)),
         scene_radius=jnp.asarray(radius, jnp.float32),
+        scene_center=jnp.asarray(center, jnp.float32),
         ray_offset_scale=jnp.asarray(min(radius * 1e-5, 1e-3) / max(radius, 1e-6), jnp.float32),
     )
     spp = spp_override or b.sampler["pixelsamples"]

@@ -79,3 +79,140 @@ def test_bdpt_light_subpath_valid():
     v1 = lvs[1]
     frac_hit = float(jnp.mean(v1.vtype == bdpt.VT_SURFACE))
     assert frac_hit > 0.8, frac_hit
+
+
+# ------------------------------------------------------------------ round 3:
+# infinite/distant light subpaths + media on connections (VERDICT r2 next-4)
+
+ENV_GLASS = """
+Film "rgb" "integer xresolution" [32] "integer yresolution" [32]
+Sampler "independent" "integer pixelsamples" [4]
+Integrator "bdpt" "integer maxdepth" [5]
+LookAt 0 1.2 -5.5   0 0.6 0   0 1 0
+Camera "perspective" "float fov" [42]
+WorldBegin
+LightSource "infinite" "rgb L" [0.45 0.55 0.75]
+%(extra_lights)s
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [28 24 18]
+  Translate 0 3.4 0
+  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point3 P" [-0.6 0 -0.6  0.6 0 -0.6  0.6 0 0.6  -0.6 0 0.6]
+AttributeEnd
+AttributeBegin
+  Material "dielectric" "float eta" [1.5]
+  Translate 0 0.75 0
+  Shape "sphere" "float radius" [0.75]
+AttributeEnd
+Material "diffuse" "rgb reflectance" [0.65 0.62 0.58]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point3 P" [-6 0 -6  6 0 -6  6 0 6  -6 0 6]
+"""
+
+FOG_GLASS = """
+Film "rgb" "integer xresolution" [32] "integer yresolution" [32]
+Sampler "independent" "integer pixelsamples" [4]
+Integrator "bdpt" "integer maxdepth" [5]
+LookAt 0 1.2 -5.5   0 0.6 0   0 1 0
+Camera "perspective" "float fov" [42]
+WorldBegin
+MakeNamedMedium "haze" "string type" "homogeneous"
+    "rgb sigma_a" [0.22 0.22 0.22] "rgb sigma_s" [0 0 0] "float g" [0.0]
+LightSource "infinite" "rgb L" [0.45 0.55 0.75]
+%(extra_lights)s
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [28 24 18]
+  Translate 0 3.4 0
+  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point3 P" [-0.6 0 -0.6  0.6 0 -0.6  0.6 0 0.6  -0.6 0 0.6]
+AttributeEnd
+AttributeBegin
+  Material "interface"
+  MediumInterface "haze" ""
+  Translate 0 0.75 0
+  Shape "sphere" "float radius" [1.4]
+AttributeEnd
+AttributeBegin
+  Material "dielectric" "float eta" [1.5]
+  Translate 0 0.75 0
+  Shape "sphere" "float radius" [0.75]
+AttributeEnd
+Material "diffuse" "rgb reflectance" [0.65 0.62 0.58]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point3 P" [-6 0 -6  6 0 -6  6 0 6  -6 0 6]
+"""
+
+
+def _text_scene(text, spp, integrator, **fmt):
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "scene.pbrt")
+    with open(path, "w") as fh:
+        fh.write(text % fmt if fmt else text)
+    b = bd.SceneBuilder().parse_file(path)
+    b.sampler["type"] = "independent"
+    return compile_scene(b, spp_override=spp, integrator_override=integrator)
+
+
+@pytest.mark.parametrize("extra", ["", 'LightSource "distant" "rgb L" '
+                                   '[2.5 2.2 1.8] "point3 from" [2 5 -3] '
+                                   '"point3 to" [0 0 0]'])
+def test_bdpt_env_matches_path_mean(extra):
+    """Glass sphere + area light + infinite sky (+ distant): the two
+    estimators must agree — this exercises light subpaths started from
+    infinite/distant lights and escaped-ray s=0 vertices."""
+    scene_p, meta_p = _text_scene(ENV_GLASS, 64, "path", extra_lights=extra)
+    scene_b, meta_b = _text_scene(ENV_GLASS, 64, "bdpt", extra_lights=extra)
+    img_p = np.asarray(R.render(scene_p, meta_p))
+    img_b = np.asarray(R.render(scene_b, meta_b))
+    assert np.isfinite(img_b).all()
+    m_p, m_b = img_p.mean(), img_b.mean()
+    assert abs(m_b - m_p) < 0.15 * m_p, (m_p, m_b)
+
+
+def test_bdpt_medium_matches_path_mean():
+    """Absorbing haze around the glass sphere: connection segments and
+    subpath walks must attenuate by the medium transmittance (with
+    sigma_s = 0 both estimators integrate the same RTE)."""
+    scene_p, meta_p = _text_scene(FOG_GLASS, 64, "path", extra_lights="")
+    scene_b, meta_b = _text_scene(FOG_GLASS, 64, "bdpt", extra_lights="")
+    assert meta_b.volumetric
+    img_p = np.asarray(R.render(scene_p, meta_p))
+    img_b = np.asarray(R.render(scene_b, meta_b))
+    assert np.isfinite(img_b).all()
+    m_p, m_b = img_p.mean(), img_b.mean()
+    assert abs(m_b - m_p) < 0.18 * m_p, (m_p, m_b)
+
+
+def test_sample_le_all_types():
+    """sample_le emits valid rays for every light type in the scene
+    (area + infinite + distant here; reference sample_le impls)."""
+    from pbrt_tpu.lights import lights
+    from pbrt_tpu.spectral import sampled
+
+    scene, meta = _text_scene(
+        ENV_GLASS, 4, "bdpt",
+        extra_lights='LightSource "distant" "rgb L" [2 2 2] '
+                     '"point3 from" [2 5 -3] "point3 to" [0 0 0]',
+    )
+    N = 512
+    rng = np.random.default_rng(0)
+    wl = sampled.sample_visible(jnp.full((N,), 0.5))
+    for li in range(int(scene.lt_pmf.shape[0])):
+        idx = jnp.full((N,), li, jnp.int32)
+        u1 = jnp.asarray(rng.random((N, 2), np.float32))
+        u2 = jnp.asarray(rng.random((N, 2), np.float32))
+        Le, p, ng, w, pdf_pos, pdf_dir, ok = lights.sample_le(
+            scene, idx, u1, u2, wl.lam
+        )
+        assert float(jnp.mean(ok)) > 0.99, li
+        assert bool(jnp.all(jnp.isfinite(p))) and bool(jnp.all(jnp.isfinite(w)))
+        assert float(jnp.min(jnp.where(ok, pdf_pos, 1.0))) > 0.0
+        assert float(jnp.min(jnp.where(ok, pdf_dir, 1.0))) > 0.0
+        # emitted rays from finite scenes must point INTO the scene: rays
+        # from the bounding-disk origin toward the center make progress
+        r_lim = float(scene.scene_radius) * 4.1
+        assert float(jnp.max(jnp.linalg.norm(
+            p - scene.scene_center[None, :], axis=-1))) <= r_lim
