@@ -31,13 +31,15 @@ import jax
 import jax.numpy as jnp
 
 from pbrt_tpu.film import film as filmlib
-from pbrt_tpu.integrators.render import render_spp_fused
+from pbrt_tpu.integrators.render import render_spp_fused, render_bdpt_fused
 from pbrt_tpu.scene import testscenes
 
 RES = 256
 SPP = 16
 LANES_SPP = 4  # sample replicates per fori_loop iteration (R = RES^2 * this)
 TARGET_RAYS_PER_SEC = 100e6
+BDPT_RES = 128  # bdpt traces ~4x the rays per sample of the path config
+BDPT_SPP = 8
 
 
 def run(scene, meta):
@@ -62,13 +64,40 @@ def run(scene, meta):
     return float(nrays), dt
 
 
-def bench_config(name, make_scene):
+def run_bdpt(scene, meta):
+    """All-BDPT-spp-in-one-dispatch config (render_bdpt_fused); the honest
+    count covers subpath segments + attempted connection shadow rays."""
+    film = filmlib.new_film((BDPT_RES, BDPT_RES))
+    pixel_ids = jnp.arange(BDPT_RES * BDPT_RES, dtype=jnp.int32)
+
+    def all_spp(film):
+        return render_bdpt_fused(
+            scene, film, pixel_ids, 0, n_spp=BDPT_SPP,
+            max_depth=meta.max_depth, res=(BDPT_RES, BDPT_RES),
+            sampler_kind="independent", spp=BDPT_SPP, filter_kind="box",
+            env_ids=tuple(meta.env_light_ids),
+        )
+
+    f_w, _ = all_spp(film)
+    jax.block_until_ready(f_w.rgb_sum)
+    t0 = time.perf_counter()
+    film, nrays = all_spp(film)
+    jax.block_until_ready(film.rgb_sum)
+    return float(nrays), time.perf_counter() - t0
+
+
+def bench_config(name, make_scene, integrator="path"):
     scene, meta = make_scene()
-    nrays, dt = run(scene, meta)
+    if integrator == "bdpt":
+        nrays, dt = run_bdpt(scene, meta)
+        res, spp = BDPT_RES, BDPT_SPP
+    else:
+        nrays, dt = run(scene, meta)
+        res, spp = RES, SPP
     rays_per_sec = nrays / dt
     print(json.dumps({
-        "metric": f"rays/sec/chip {name} {RES}x{RES} path mdepth="
-                  f"{meta.max_depth} spp={SPP} tris={meta.n_tris} (honest count)",
+        "metric": f"rays/sec/chip {name} {res}x{res} {integrator} mdepth="
+                  f"{meta.max_depth} spp={spp} tris={meta.n_tris} (honest count)",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / TARGET_RAYS_PER_SEC, 4),
@@ -79,14 +108,16 @@ def main():
     import sys
     only = sys.argv[1] if len(sys.argv) > 1 else None
     configs = [
-        ("cornell-box", lambda: testscenes.cornell(res=RES, spp=SPP)),
+        ("cornell-box", lambda: testscenes.cornell(res=RES, spp=SPP), "path"),
+        ("cornell-bdpt",
+         lambda: testscenes.cornell(res=BDPT_RES, spp=BDPT_SPP), "bdpt"),
         ("cornell-mesh",
-         lambda: testscenes.cornell_mesh(res=RES, spp=SPP, levels=5)),
-        ("terrain-ply", lambda: testscenes.terrain(res=RES, spp=SPP)),
+         lambda: testscenes.cornell_mesh(res=RES, spp=SPP, levels=5), "path"),
+        ("terrain-ply", lambda: testscenes.terrain(res=RES, spp=SPP), "path"),
     ]
-    for name, make in configs:
+    for name, make, integ in configs:
         if only is None or only in name:
-            bench_config(name, make)
+            bench_config(name, make, integ)
 
 
 if __name__ == "__main__":

@@ -270,7 +270,8 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps,
     from pbrt_tpu.integrators.path import _medium_after, _sigma_t
 
     def body(carry, _):
-        beta, pdf_fwd_dir, active, prev_p, cur_o, cur_d, medium, smp = carry
+        beta, pdf_fwd_dir, active, prev_p, cur_o, cur_d, medium, n_rays, smp = carry
+        n_rays = n_rays + jnp.sum(active.astype(jnp.float32))
         if has_media:
             # segment walk: cross up to 4 material-less interfaces,
             # attenuating beta by the homogeneous transmittance of each leg
@@ -375,14 +376,16 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps,
             offset_ray_origin(hit.p, hit.ng, bs.wi, scene.ray_offset_scale),
             bs.wi,
             med_next,
+            n_rays,
             smp,
         )
         return new_carry, (vtx, rev_dir)
 
     active0 = jnp.any(beta0 > 0, -1) & (pdf_dir0 > 0)
-    carry0 = (beta0, pdf_dir0, active0, o, o, d, med0, smp)
+    carry0 = (beta0, pdf_dir0, active0, o, o, d, med0, jnp.float32(0.0), smp)
     carry, (stacked, rev_dirs) = jax.lax.scan(body, carry0, None, length=n_steps)
     smp = carry[-1]
+    n_rays = carry[-2]
 
     # fill pdf_rev from the successor's reverse-directional pdf (vectorized
     # over the step axis: slot i gets slot i+1's rev_dir converted to area)
@@ -404,7 +407,7 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps,
     out = [jax.tree_util.tree_map(lambda x: x[i], stacked) for i in range(n_steps)]
     first_v = out[0] if out else None
     endpoint_rev = rev_dirs[0] if n_steps > 0 else jnp.zeros((R,))
-    return out, (endpoint_rev, first_v), smp
+    return out, (endpoint_rev, first_v), smp, n_rays
 
 
 def camera_path(scene, p_film, smp, wl, max_depth, skind, spp):
@@ -420,7 +423,7 @@ def camera_path(scene, p_film, smp, wl, max_depth, skind, spp):
         med=jnp.broadcast_to(jnp.asarray(scene.camera_medium, jnp.int32), (R,)),
     )
     _, pdf_dir = perspective.pdf_we(scene, rays.o, rays.d)
-    surf, (ep_rev, first_v), smp = _walk(
+    surf, (ep_rev, first_v), smp, n_rays = _walk(
         scene, rays.o, rays.d, jnp.ones((R, 4)), pdf_dir, wl, smp,
         skind, spp, max_depth + 1, True, medium0=scene.camera_medium,
     )
@@ -429,7 +432,7 @@ def camera_path(scene, p_film, smp, wl, max_depth, skind, spp):
         cam_v = cam_v._replace(
             pdf_rev=jnp.where(_exists(first_v), ep_rev / jnp.maximum(dist2, 1e-24), 0.0)
         )
-    return [cam_v] + surf, smp
+    return [cam_v] + surf, smp, n_rays
 
 
 def light_path(scene, smp, wl, max_depth, skind, spp, env_ids=()):
@@ -475,7 +478,7 @@ def light_path(scene, smp, wl, max_depth, skind, spp, env_ids=()):
     )
     beta0 = jnp.where(ok[..., None], beta0, 0.0)
     o = offset_ray_origin(p, ng, w, scene.ray_offset_scale)
-    surf, (ep_rev, first_v), smp = _walk(
+    surf, (ep_rev, first_v), smp, n_rays = _walk(
         scene, o, w, beta0, jnp.where(ok, pdf_dir, 0.0), wl, smp,
         skind, spp, max_depth, False,
     )
@@ -495,7 +498,7 @@ def light_path(scene, smp, wl, max_depth, skind, spp, env_ids=()):
                 is_inf & _exists(first_v), pdf1_inf, first_v.pdf_fwd
             )
         )
-    return [light_v] + surf, smp
+    return [light_v] + surf, smp, n_rays
 
 
 # ---------------------------------------------------------------- MIS
@@ -589,10 +592,12 @@ def _conn_medium(a: V, w):
     return jnp.where(has_iface, chosen, a.med)
 
 
-def _segment_throughput(scene, a: V, p_to, wl):
+def _segment_throughput(scene, a: V, p_to, wl, mask=None):
     """Visibility OR transmittance of the segment a -> p_to: (R,4)
     (reference compute_G's base->compute_transmittance, bdpt.cu:285;
-    integrator_base.cu:22-71). Without media this is the binary any-hit."""
+    integrator_base.cu:22-71). Without media this is the binary any-hit.
+    `mask` lanes that cannot contribute trace a t_max=0 ray (one-iteration
+    BVH exit; also keeps the honest ray count honest)."""
     w, dist2 = _dir_to(a.p, p_to)
     if int(scene.med_sigma_a.shape[0]) > 0:
         from pbrt_tpu.integrators.path import compute_transmittance
@@ -603,11 +608,14 @@ def _segment_throughput(scene, a: V, p_to, wl):
         )
     o_sh = offset_ray_origin(a.p, a.ng, w, scene.ray_offset_scale)
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
-    occ = dispatch.occluded(scene, o_sh, w, dist * (1.0 - 1e-3))
+    t_sh = dist * (1.0 - 1e-3)
+    if mask is not None:
+        t_sh = jnp.where(mask, t_sh, 0.0)
+    occ = dispatch.occluded(scene, o_sh, w, t_sh)
     return jnp.where(occ[..., None], 0.0, 1.0)
 
 
-def _g_term(scene, a: V, b_v: V, wl):
+def _g_term(scene, a: V, b_v: V, wl, mask=None):
     """Geometry term with visibility/transmittance (bdpt.cu:271-286
     compute_G). Returns (R,4)."""
     w, dist2 = _dir_to(a.p, b_v.p)
@@ -616,12 +624,12 @@ def _g_term(scene, a: V, b_v: V, wl):
     cos_a = jnp.where(a.vtype == VT_SURFACE, cos_a, 1.0)
     cos_b = jnp.where(b_v.vtype == VT_SURFACE, cos_b, 1.0)
     g = cos_a * cos_b / jnp.maximum(dist2, 1e-24)
-    return g[..., None] * _segment_throughput(scene, a, b_v.p, wl)
+    return g[..., None] * _segment_throughput(scene, a, b_v.p, wl, mask=mask)
 
 
 def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp, env_ids=()):
     """One (s,t) strategy (bdpt.cu connect_bdpt:612-721).
-    Returns (L (R,4), splat_raster (R,2) or None, smp)."""
+    Returns (L (R,4), splat_raster (R,2) or None, smp, n_shadow_rays ())."""
     R = cam_vs[0].p.shape[0]
     zero = jnp.zeros((R, 4))
     raster = None
@@ -640,7 +648,7 @@ def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp, env_ids=()):
         ok = _exists(pt) & ((pt.light >= 0) | (pt.vtype == VT_LIGHT_INF))
         L = jnp.where(ok[..., None], L, 0.0)
         weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl, env_ids=env_ids)
-        return L * weight[..., None], None, smp
+        return L * weight[..., None], None, smp, jnp.float32(0.0)
 
     if t == 1:
         # connect light subpath to a lens sample -> splat
@@ -651,9 +659,10 @@ def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp, env_ids=()):
         ns_cos = vm.absdot(qs.ns, wi)
         L = qs.beta * f_qs * (wv / jnp.maximum(pdf, 1e-12))[..., None] * ns_cos[..., None]
         # visibility / transmittance along the lens segment (bdpt.cu:652)
-        trans = _segment_throughput(scene, qs, p_lens, wl)
+        attempt = _is_connectible(qs) & cam_ok & jnp.any(f_qs > 0, -1)
+        trans = _segment_throughput(scene, qs, p_lens, wl, mask=attempt)
         L = L * trans
-        ok = _is_connectible(qs) & cam_ok & jnp.any(f_qs > 0, -1)
+        ok = attempt
         L = jnp.where(ok[..., None], L, 0.0)
         cam_sampled = _empty_vertex(R)._replace(
             vtype=jnp.full((R,), VT_CAMERA, jnp.int32),
@@ -663,7 +672,8 @@ def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp, env_ids=()):
         )
         weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl,
                              sampled_v=cam_sampled, env_ids=env_ids)
-        return L * weight[..., None], p_raster, smp
+        return (L * weight[..., None], p_raster, smp,
+                jnp.sum(attempt.astype(jnp.float32)))
 
     if s == 1:
         # sample a light point from the camera vertex (NEE-like)
@@ -704,26 +714,29 @@ def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp, env_ids=()):
         )
         weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl,
                              sampled_v=light_sampled, env_ids=env_ids)
-        return L * weight[..., None], None, smp
+        return (L * weight[..., None], None, smp,
+                jnp.sum(attempt.astype(jnp.float32)))
 
     # general s>1, t>1 connection
     qs = light_vs[s - 1]
     pt = cam_vs[t - 1]
     f_qs = _vertex_f(scene, qs, pt, wl)
     f_pt = _vertex_f(scene, pt, qs, wl)
-    g = _g_term(scene, qs, pt, wl)
+    attempt = (_is_connectible(qs) & _is_connectible(pt)
+               & jnp.any(f_qs > 0, -1) & jnp.any(f_pt > 0, -1))
+    g = _g_term(scene, qs, pt, wl, mask=attempt)
     L = qs.beta * f_qs * f_pt * pt.beta * g
-    ok = _is_connectible(qs) & _is_connectible(pt) & jnp.any(f_qs > 0, -1) & jnp.any(f_pt > 0, -1)
-    L = jnp.where(ok[..., None], L, 0.0)
+    L = jnp.where(attempt[..., None], L, 0.0)
     weight = _mis_weight(scene, light_vs, cam_vs, s, t, wl, env_ids=env_ids)
-    return L * weight[..., None], None, smp
+    return (L * weight[..., None], None, smp,
+            jnp.sum(attempt.astype(jnp.float32)))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("max_depth", "skind", "spp", "env_ids"))
 def _jit_paths(scene, p_film, smp, wl, *, max_depth, skind, spp, env_ids=()):
-    cam_vs, smp = camera_path(scene, p_film, smp, wl, max_depth, skind, spp)
-    light_vs, smp = light_path(scene, smp, wl, max_depth, skind, spp, env_ids)
+    cam_vs, smp, n_c = camera_path(scene, p_film, smp, wl, max_depth, skind, spp)
+    light_vs, smp, n_l = light_path(scene, smp, wl, max_depth, skind, spp, env_ids)
     return cam_vs, light_vs, smp
 
 
@@ -754,7 +767,7 @@ def li_bdpt_staged(scene, p_film, smp, wl, max_depth, skind, spp, res,
                 continue
             if t == 1 and st < 2:
                 continue
-            Lst, raster, smp = _jit_connect(
+            Lst, raster, smp, _n = _jit_connect(
                 scene, light_vs, cam_vs, wl, smp, s=st, t=t, skind=skind,
                 spp=spp, env_ids=tuple(env_ids),
             )
@@ -770,10 +783,12 @@ def li_bdpt_staged(scene, p_film, smp, wl, max_depth, skind, spp, res,
 def li_bdpt(scene, p_film, pixel_ids, smp, wl, max_depth, skind, spp, res,
             env_ids=()):
     """Full BDPT estimate for a batch of film positions.
-    Returns (L (R,4), splat_pixels (K,R) ids, splat_L list) — splats are
-    returned per-strategy for the caller to scatter-add."""
-    cam_vs, smp = camera_path(scene, p_film, smp, wl, max_depth, skind, spp)
-    light_vs, smp = light_path(scene, smp, wl, max_depth, skind, spp, env_ids)
+    Returns (L (R,4), splats [(pix ids, L)], n_rays ()) — splats are
+    returned per-strategy for the caller to scatter-add; n_rays is the
+    honest traced-ray count (subpath segments + attempted connections)."""
+    cam_vs, smp, n_cam = camera_path(scene, p_film, smp, wl, max_depth, skind, spp)
+    light_vs, smp, n_light = light_path(scene, smp, wl, max_depth, skind, spp, env_ids)
+    n_rays = n_cam + n_light
 
     R = p_film.shape[0]
     L = jnp.zeros((R, 4))
@@ -787,13 +802,14 @@ def li_bdpt(scene, p_film, pixel_ids, smp, wl, max_depth, skind, spp, res,
                 continue
             if t == 1 and s < 2:
                 continue  # t=1,s<2 covered by other strategies
-            Lst, raster, smp = connect(
+            Lst, raster, smp, n_c = connect(
                 scene, light_vs, cam_vs, s, t, wl, smp, skind, spp, env_ids
             )
+            n_rays = n_rays + n_c
             if t == 1:
                 px = jnp.clip(raster[..., 0].astype(jnp.int32), 0, res[0] - 1)
                 py = jnp.clip(raster[..., 1].astype(jnp.int32), 0, res[1] - 1)
                 splats.append((py * res[0] + px, Lst))
             else:
                 L = L + Lst
-    return L, splats
+    return L, splats, n_rays

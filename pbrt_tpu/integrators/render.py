@@ -85,6 +85,39 @@ def render_bdpt_sample(scene, film, pixel_ids, sample_idx, *, max_depth, res,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("n_spp", "max_depth", "res", "sampler_kind", "spp",
+                     "filter_kind", "env_ids"),
+)
+def render_bdpt_fused(scene, film, pixel_ids, s0, *, n_spp, max_depth, res,
+                      sampler_kind, spp, filter_kind, env_ids=()):
+    """All BDPT spp in ONE dispatch: lax.fori_loop over sample indices with
+    the film as carry, every (s,t) strategy inlined (VERDICT r2 next-8 —
+    the staged per-(s,t) jits paid the ~25 ms tunnel dispatch ~25x per
+    sample; this pays it once per frame, matching render_spp_fused)."""
+    from pbrt_tpu.integrators import bdpt as bdpt_mod
+
+    def one(s, carry):
+        film, n_rays = carry
+        p_film, weight, wl, r = _camera_sample(
+            scene, pixel_ids, s0 + s, res_x=res[0], sampler_kind=sampler_kind,
+            spp=spp, filter_kind=filter_kind,
+        )
+        L, splats, n_s = bdpt_mod.li_bdpt(
+            scene, p_film, pixel_ids, r, wl, max_depth, sampler_kind, spp,
+            res, env_ids,
+        )
+        film = filmlib.add_samples(film, pixel_ids, L, wl.lam, wl.pdf, weight)
+        for pix, Ls in splats:
+            film = filmlib.add_splats(
+                film, pix, Ls, wl.lam, wl.pdf, jnp.ones(pix.shape[0])
+            )
+        return film, n_rays + n_s
+
+    return jax.lax.fori_loop(0, n_spp, one, (film, jnp.float32(0.0)))
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=(
         "max_depth", "integrator", "use_lens", "res_x", "res_y", "sampler_kind",
         "spp", "filter_kind", "env_ids", "volumetric",
@@ -246,6 +279,26 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False,
                 filmlib.save_checkpoint(checkpoint_path, film, s0)
         return filmlib.develop(
             film, meta.resolution,
+            out_matrix=meta.film_out_matrix,
+            imaging_ratio=meta.film_imaging_ratio,
+        )
+
+    if meta.integrator == "bdpt" and n_pixels <= tile_rays and (
+        jax.default_backend() != "cpu"
+    ):
+        # all BDPT spp in one dispatch (the staged per-(s,t) jits stay the
+        # CPU path: XLA:CPU's optimizer goes superlinear on the merged
+        # graph, but XLA:TPU compiles it fine and saves ~25 ms x 25
+        # strategies x spp of tunnel dispatch overhead)
+        pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
+        film, _ = render_bdpt_fused(
+            scene, film, pixel_ids, 0, n_spp=meta.spp,
+            max_depth=meta.max_depth, res=(res_x, res_y),
+            sampler_kind=meta.sampler, spp=meta.spp,
+            filter_kind=meta.filter_kind, env_ids=tuple(meta.env_light_ids),
+        )
+        return filmlib.develop(
+            film, meta.resolution, splat_scale=1.0 / meta.spp,
             out_matrix=meta.film_out_matrix,
             imaging_ratio=meta.film_imaging_ratio,
         )
