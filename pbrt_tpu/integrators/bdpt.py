@@ -261,7 +261,14 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps,
     Media handling: segments pass through material-less interfaces
     (bdpt.cu:411-427) with deterministic homogeneous transmittance folded
     into beta; escaped camera rays become VT_LIGHT_INF vertices
-    (bdpt.cu:475-483)."""
+    (bdpt.cu:475-483).
+
+    Known approximation: a segment crosses at most 4 consecutive
+    material-less interfaces; a lane still on an interface after the 4th
+    hop dies (neither found nor escaped), losing its energy. The reference
+    loops until a real surface (integrator_base.cu:22-71); deeper nesting
+    than 4 dielectric shells between two real surfaces is the only case
+    affected."""
     R = o.shape[0]
     has_media = int(scene.med_sigma_a.shape[0]) > 0
     med0 = (jnp.broadcast_to(jnp.asarray(medium0, jnp.int32), (R,))
@@ -676,15 +683,14 @@ def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp, env_ids=()):
                 jnp.sum(attempt.astype(jnp.float32)))
 
     if s == 1:
-        # sample a light point from the camera vertex (NEE-like)
+        # sample a light point from the camera vertex (NEE-like); the light
+        # pick reuses the O(1) alias rows shared with the path integrator
+        # (PowerLightSampler, power_light_sampler.cu:7-63)
+        from pbrt_tpu.integrators.path import _pick_light
+
         pt = cam_vs[t - 1]
         smp, u_pick = samplers.get_1d(smp, None, skind, spp)
-        cdf = jnp.cumsum(scene.lt_pmf)
-        li = jnp.clip(
-            jnp.searchsorted(cdf, u_pick, side="right").astype(jnp.int32),
-            0, scene.lt_pmf.shape[0] - 1,
-        )
-        pmf = scene.lt_pmf[li]
+        li, pmf = _pick_light(scene, u_pick)
         smp, u2 = samplers.get_2d(smp, None, skind, spp)
         ls = lights.sample_li(scene, li, pt.p, pt.ns, u2, wl.lam, scene.scene_radius)
         f_pt = _vertex_f(scene, pt, _empty_vertex(R)._replace(p=ls.p_light), wl)
@@ -696,10 +702,12 @@ def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp, env_ids=()):
             * ls.L
             / jnp.maximum(pmf * ls.pdf, 1e-20)[..., None]
         )
-        # visibility / transmittance along the light segment (bdpt.cu:695)
-        trans = _segment_throughput(scene, pt, ls.p_light, wl)
+        # visibility / transmittance along the light segment (bdpt.cu:695);
+        # dead lanes trace t_max=0 rays (mask) like the other branches
+        attempt = _is_connectible(pt) & ls.valid & (ls.pdf > 0) & jnp.any(f_pt > 0, -1)
+        trans = _segment_throughput(scene, pt, ls.p_light, wl, mask=attempt)
         L = L * trans
-        ok = _is_connectible(pt) & ls.valid & jnp.any(f_pt > 0, -1) & (ls.pdf > 0)
+        ok = attempt
         L = jnp.where(ok[..., None], L, 0.0)
         light_sampled = _empty_vertex(R)._replace(
             vtype=jnp.full((R,), VT_LIGHT, jnp.int32),

@@ -71,7 +71,7 @@ def test_bdpt_light_subpath_valid():
         jnp.arange(N, dtype=jnp.int32), jnp.zeros(N, jnp.int32)
     )
     wl = sampled.sample_visible(jnp.full((N,), 0.5))
-    lvs, smp = bdpt.light_path(scene, smp, wl, meta.max_depth, "independent", 0)
+    lvs, smp, _ = bdpt.light_path(scene, smp, wl, meta.max_depth, "independent", 0)
     v0 = lvs[0]
     assert bool(jnp.all(v0.vtype == bdpt.VT_LIGHT))
     assert float(jnp.mean(jnp.any(v0.beta > 0, -1))) > 0.99
