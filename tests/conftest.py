@@ -32,3 +32,28 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ----------------------------------------------------------------- smoke gate
+# `pytest -m smoke` is the pre-commit gate (<90 s on this box): one
+# representative test per load-bearing subsystem — RNG bit-exactness,
+# watertight intersection, BVH-vs-dense exactness, energy conservation,
+# a golden image, and a BDPT subpath sanity check. Keep this list fast;
+# the full suite stays the merge gate.
+_SMOKE = (
+    "test_rng.py",
+    "test_intersect.py::test_watertight_shared_edge",
+    "test_intersect.py::test_triangle_respects_tmax",
+    "test_bvh.py::test_bvh_matches_dense",
+    "test_bvh.py::test_bvh_occluded_matches_dense",
+    "test_furnace.py::test_furnace_diffuse",
+    "test_parity.py::test_golden_cornell_path",
+    "test_bdpt.py::test_bdpt_light_subpath_valid",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid
+        if any(key in nodeid for key in _SMOKE):
+            item.add_marker(pytest.mark.smoke)

@@ -43,9 +43,11 @@ def setup(levels, R):
 
 def init_state(R, SD, t_max):
     return bvhlib._St(
-        cur=jnp.full((R,), bvhlib._FRESH, jnp.int32),
+        cur=jnp.zeros((R,), jnp.int32),
+        cmask=jnp.full((R,), bvhlib._FRESH, jnp.int32),
         sp=jnp.zeros((R,), jnp.int32),
-        stack=jnp.zeros((R, SD), jnp.int32),
+        stack_n=jnp.zeros((R, SD), jnp.int32),
+        stack_m=jnp.zeros((R, SD), jnp.int32),
         t_best=t_max,
         prim=jnp.full((R,), -1, jnp.int32),
         it=jnp.int32(0),
