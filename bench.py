@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from pbrt_tpu.film import film as filmlib
-from pbrt_tpu.integrators.render import render_spp_fused, render_bdpt_fused
+from pbrt_tpu.integrators.render import (render_spp_fused, render_bdpt_fused, render_wavefront_fused)
 from pbrt_tpu.scene import testscenes
 
 RES = 256
@@ -46,12 +46,24 @@ def run(scene, meta):
     film = filmlib.new_film((RES, RES))
     pixel_ids = jnp.arange(RES * RES, dtype=jnp.int32)
 
-    def all_spp(film, s0):
-        return render_spp_fused(
-            scene, film, pixel_ids, s0,
-            n_spp=SPP, lanes_spp=LANES_SPP, max_depth=meta.max_depth,
-            use_lens=False, res_x=RES,
-        )
+    # same auto-selection as integrators/render.py: open scenes (infinite
+    # lights -> heavy early escape) run the wavefront lane-recycling loop
+    if getattr(meta, "open_scene", False):
+        pool = min(1 << 18, RES * RES * SPP)
+
+        def all_spp(film, s0):
+            return render_wavefront_fused(
+                scene, film, jnp.int32(0), RES * RES, s0,
+                n_spp=SPP, pool=pool, max_depth=meta.max_depth,
+                use_lens=False, res_x=RES,
+            )
+    else:
+        def all_spp(film, s0):
+            return render_spp_fused(
+                scene, film, pixel_ids, s0,
+                n_spp=SPP, lanes_spp=LANES_SPP, max_depth=meta.max_depth,
+                use_lens=False, res_x=RES,
+            )
 
     # warmup/compile (separate sample range so the timed run is identical work)
     f_w, n_w = all_spp(film, SPP)

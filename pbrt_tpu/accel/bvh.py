@@ -60,10 +60,14 @@ from pbrt_tpu.geometry import intersect as ix
 # tuning (tools/bench_bvh.py).
 import os as _os
 
-LEAF_K = int(_os.environ.get("PBRT_TPU_BVH_LEAF_K", "4"))
-# 8-wide nodes: one 56-f32 row carries 8 child boxes + links (see module doc)
-WIDTH = 8
-ROW_W = max(6 * WIDTH + WIDTH, 9 * LEAF_K)
+LEAF_K = int(_os.environ.get("PBRT_TPU_BVH_LEAF_K", "8"))
+# Node width: one (6W+W)-f32 row carries W child boxes + links. Wider nodes
+# consume more tree per visit for the SAME per-iteration op count (the slab
+# block just gets wider on the VPU), so the while_loop runs far fewer
+# iterations — the dominant cost at scale (PROFILE §3 wide-node variant).
+# Env-overridable for tools/bench_bvh.py sweeps.
+WIDTH = int(_os.environ.get("PBRT_TPU_BVH_WIDTH", "8"))
+ROW_W = max(6 * WIDTH + WIDTH, 9 * LEAF_K, 14)
 # Scenes below this triangle count use the dense all-pairs kernel instead.
 MIN_TRIS_FOR_BVH = 64
 
@@ -168,40 +172,51 @@ def _build_binary(tri_lo, tri_hi, cent, order, leaf_k, big_from=None):
 
         split = None
         if n >= _SAH_MIN and depth < _MAX_DEPTH and ext[axis] > 0:
-            # ---- binned SAH on the largest centroid axis (reference
-            # hlbvh.cu:636-813 build_upper_sah quality, 16 bins)
-            t = (c[:, axis] - clo[axis]) * (_SAH_BINS / ext[axis])
-            b = np.minimum(t.astype(np.int32), _SAH_BINS - 1)
-            counts = np.bincount(b, minlength=_SAH_BINS)
-            sort = np.argsort(b, kind="stable")
-            ids_sorted = ids[sort]
-            starts = np.zeros(_SAH_BINS, np.int64)
-            starts[1:] = np.cumsum(counts)[:-1]
-            nonempty = counts > 0
-            # reduceat needs strictly valid starts; compute on nonempty bins
-            ne_starts = starts[nonempty]
-            blo = np.full((_SAH_BINS, 3), np.inf, np.float64)
-            bhi = np.full((_SAH_BINS, 3), -np.inf, np.float64)
-            blo[nonempty] = np.minimum.reduceat(tri_lo[ids_sorted], ne_starts, axis=0)
-            bhi[nonempty] = np.maximum.reduceat(tri_hi[ids_sorted], ne_starts, axis=0)
-            # prefix/suffix bounds + counts over bins
-            plo = np.minimum.accumulate(blo, axis=0)
-            phi = np.maximum.accumulate(bhi, axis=0)
-            slo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
-            shi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
-            cl = np.cumsum(counts)
-            cr = n - cl
-            # split after bin i (i = 0.._SAH_BINS-2)
-            costs = np.where(
-                (cl[:-1] > 0) & (cr[:-1] > 0),
-                _surface_area(plo[:-1], phi[:-1]) * cl[:-1]
-                + _surface_area(slo[1:], shi[1:]) * cr[:-1],
-                np.inf,
-            )
-            best = int(np.argmin(costs))
-            if np.isfinite(costs[best]):
-                mid = int(cl[best])
-                split = (ids_sorted[:mid], ids_sorted[mid:])
+            # ---- binned SAH over ALL THREE centroid axes (the reference
+            # bins only along each treelet axis, hlbvh.cu:636-813; sweeping
+            # all axes at 16 bins measurably tightens boxes on anisotropic
+            # meshes like height fields — fewer node visits per ray)
+            best_cost, best_split = np.inf, None
+            for ax in range(3):
+                if ext[ax] <= 0:
+                    continue
+                t = (c[:, ax] - clo[ax]) * (_SAH_BINS / ext[ax])
+                b = np.minimum(t.astype(np.int32), _SAH_BINS - 1)
+                counts = np.bincount(b, minlength=_SAH_BINS)
+                sort = np.argsort(b, kind="stable")
+                ids_sorted = ids[sort]
+                starts = np.zeros(_SAH_BINS, np.int64)
+                starts[1:] = np.cumsum(counts)[:-1]
+                nonempty = counts > 0
+                # reduceat needs strictly valid starts; use nonempty bins
+                ne_starts = starts[nonempty]
+                blo = np.full((_SAH_BINS, 3), np.inf, np.float64)
+                bhi = np.full((_SAH_BINS, 3), -np.inf, np.float64)
+                blo[nonempty] = np.minimum.reduceat(
+                    tri_lo[ids_sorted], ne_starts, axis=0)
+                bhi[nonempty] = np.maximum.reduceat(
+                    tri_hi[ids_sorted], ne_starts, axis=0)
+                # prefix/suffix bounds + counts over bins
+                plo = np.minimum.accumulate(blo, axis=0)
+                phi = np.maximum.accumulate(bhi, axis=0)
+                slo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+                shi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+                cl = np.cumsum(counts)
+                cr = n - cl
+                # split after bin i (i = 0.._SAH_BINS-2)
+                costs = np.where(
+                    (cl[:-1] > 0) & (cr[:-1] > 0),
+                    _surface_area(plo[:-1], phi[:-1]) * cl[:-1]
+                    + _surface_area(slo[1:], shi[1:]) * cr[:-1],
+                    np.inf,
+                )
+                bi = int(np.argmin(costs))
+                if costs[bi] < best_cost:
+                    best_cost = costs[bi]
+                    mid = int(cl[bi])
+                    best_split = (ids_sorted[:mid], ids_sorted[mid:])
+            if best_split is not None:
+                split = best_split
         if split is None:
             # median of the current (morton / bin-sorted) order; for tiny or
             # degenerate ranges this is the LBVH topology
@@ -596,13 +611,41 @@ def _slab8(o, inv_d, boxes, t_best):
 
 
 _DONE = jnp.int32(-1)
-_FRESH = 255  # child bitmask of a first visit (mask 0 = RESTORE sentinel)
+# child bitmask of a first visit: all WIDTH bits set (int32 two's complement
+# -1 for WIDTH=32 — distinct powers-of-two sums and &-tests below use != 0,
+# never > 0, so the sign bit is an ordinary bit). mask 0 = RESTORE sentinel.
+_FRESH = jnp.int32(-1) if WIDTH >= 32 else jnp.int32((1 << WIDTH) - 1)
+# stack layout: for W<=8 a stack entry packs nid*256+mask into ONE i32 (one
+# where-chain per push/pop); wider masks use parallel (nid, mask) stacks.
+_PACKED = WIDTH <= 8
+
+
+def _stack_push(stack_n, stack_m, at_sp, push_n, push_m):
+    if _PACKED:
+        return (jnp.where(at_sp, (push_n * 256 + push_m)[:, None], stack_n),
+                stack_m)
+    return (jnp.where(at_sp, push_n[:, None], stack_n),
+            jnp.where(at_sp, push_m[:, None], stack_m))
+
+
+def _stack_pop(stack_n, stack_m, at_pop):
+    if _PACKED:
+        popped = jnp.sum(jnp.where(at_pop, stack_n, 0), axis=1)
+        return popped >> 8, popped & 255
+    return (jnp.sum(jnp.where(at_pop, stack_n, 0), axis=1),
+            jnp.sum(jnp.where(at_pop, stack_m, 0), axis=1))
+
+
+def _stack_m_init(R, SD):
+    return jnp.zeros((R, 0 if _PACKED else SD), jnp.int32)
 
 
 class _St(NamedTuple):
-    cur: jnp.ndarray      # (R,) packed node_id*256+mask, or _DONE
+    cur: jnp.ndarray      # (R,) current node id, or _DONE
+    cmask: jnp.ndarray    # (R,) surviving-children bitmask of the visit
     sp: jnp.ndarray       # (R,) stack pointer
-    stack: jnp.ndarray    # (R, SD) packed entries
+    stack_n: jnp.ndarray  # (R, SD) stacked node ids
+    stack_m: jnp.ndarray  # (R, SD) stacked child bitmasks
     t_best: jnp.ndarray   # (R,)
     prim: jnp.ndarray     # (R,)
     it: jnp.ndarray       # () iteration counter (stage cap / safety bound)
@@ -613,11 +656,13 @@ class _StI(NamedTuple):
     space while inside a BLAS) and instance context. pbrt forbids nested
     ObjectInstance, so 'restore' always returns to the loop-invariant world
     ray — the stack never has to save rays, only a RESTORE sentinel
-    (packed mask == 0, a value no ordinary push produces)."""
+    (stacked mask == 0, a value no ordinary push produces)."""
 
     cur: jnp.ndarray
+    cmask: jnp.ndarray
     sp: jnp.ndarray
-    stack: jnp.ndarray
+    stack_n: jnp.ndarray
+    stack_m: jnp.ndarray
     t_best: jnp.ndarray
     prim: jnp.ndarray
     hin: jnp.ndarray      # (R,) instance id of the best hit (-1 static)
@@ -662,9 +707,8 @@ def make_stepper(rows, n_int, leaf_k, SD, any_hit=False):
 
         def body(st):
             live = st.cur != _DONE
-            curp = jnp.maximum(st.cur, 0)
-            nid = curp >> 8
-            mask = curp & 255
+            nid = jnp.maximum(st.cur, 0)
+            mask = st.cmask
             is_leaf = live & (nid >= n_int)
 
             # ---- ONE gather serves both cases: internal row or leaf tris
@@ -681,17 +725,17 @@ def make_stepper(rows, n_int, leaf_k, SD, any_hit=False):
             )
             found = prim >= 0
 
-            # ---- internal: 8 slab tests from the same row
+            # ---- internal: W slab tests from the same row
             is_int = live & ~is_leaf
             boxes = row[:, : 6 * WIDTH].reshape(row.shape[0], WIDTH, 6)
-            child = row[:, 6 * WIDTH: 7 * WIDTH].astype(jnp.int32)  # (R, 8)
+            child = row[:, 6 * WIDTH: 7 * WIDTH].astype(jnp.int32)  # (R, W)
             tn, hit = _slab8(o, inv_d, boxes, t_best)
-            hit &= is_int[:, None] & (child >= 0) & ((mask[:, None] & bits) > 0)
+            hit &= is_int[:, None] & (child >= 0) & ((mask[:, None] & bits) != 0)
 
             tn_m = jnp.where(hit, tn, INFINITY)
             best_slot = jnp.argmin(tn_m, axis=-1)                    # (R,)
-            onehot = slot8 = (jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
-                              == best_slot[:, None])
+            onehot = (jnp.arange(WIDTH, dtype=jnp.int32)[None, :]
+                      == best_slot[:, None])
             # per-lane child gather as one-hot contraction (scalar-unit
             # gathers are poison, PROFILE §2)
             near_child = jnp.sum(jnp.where(onehot & hit, child, 0), axis=-1)
@@ -699,19 +743,18 @@ def make_stepper(rows, n_int, leaf_k, SD, any_hit=False):
 
             remaining = hit & ~onehot
             n_rem = jnp.sum(remaining.astype(jnp.int32), axis=-1)
+            # arithmetic sum of DISTINCT powers of two == bitwise OR (mod
+            # 2^32), so the bit pattern is exact even when bit 31 is set
             rem_bits = jnp.sum(jnp.where(remaining, bits, 0), axis=-1)
             single = jnp.sum(jnp.where(remaining, child, 0), axis=-1)
             # c==2 survivors: push the sibling directly (no revisit);
             # c>=3: push (node, remaining-mask) and re-cull on pop
-            push_val = jnp.where(
-                n_rem == 1, single * 256 + _FRESH, nid * 256 + rem_bits
-            )
+            push_n = jnp.where(n_rem == 1, single, nid)
+            push_m = jnp.where(n_rem == 1, _FRESH, rem_bits)
             do_push = is_int & (n_rem >= 1)
-            stack = jnp.where(
-                (slot_ids[None, :] == st.sp[:, None]) & do_push[:, None],
-                push_val[:, None],
-                st.stack,
-            )
+            at_sp = (slot_ids[None, :] == st.sp[:, None]) & do_push[:, None]
+            stack_n, stack_m = _stack_push(
+                st.stack_n, st.stack_m, at_sp, push_n, push_m)
             sp = st.sp + do_push.astype(jnp.int32)
 
             # next node: descend if any child hit, else pop
@@ -723,20 +766,20 @@ def make_stepper(rows, n_int, leaf_k, SD, any_hit=False):
             sp_pop = jnp.maximum(sp - 1, 0)
             # select, not gather: a take_along_axis here costs a full
             # scalar-unit pass per iteration; a where-chain is VPU-free
-            popped = jnp.sum(
-                jnp.where(slot_ids[None, :] == sp_pop[:, None], stack, 0), axis=1
-            )
+            at_pop = slot_ids[None, :] == sp_pop[:, None]
+            popped_n, popped_m = _stack_pop(stack_n, stack_m, at_pop)
+            descend = is_int & any_child
             cur_next = jnp.where(
-                is_int & any_child,
-                near_child * 256 + _FRESH,
-                jnp.where(can_pop, popped, _DONE),
+                descend, near_child, jnp.where(can_pop, popped_n, _DONE)
             )
+            cmask_next = jnp.where(descend, _FRESH, popped_m)
             if any_hit:
                 cur_next = jnp.where(found, _DONE, cur_next)
             sp = jnp.where(can_pop, sp_pop, sp)
             cur_next = jnp.where(live, cur_next, _DONE)
 
-            return _St(cur=cur_next, sp=sp, stack=stack, t_best=t_best,
+            return _St(cur=cur_next, cmask=cmask_next, sp=sp,
+                       stack_n=stack_n, stack_m=stack_m, t_best=t_best,
                        prim=prim, it=st.it + 1)
         return body
 
@@ -767,9 +810,8 @@ def make_stepper_inst(rows, n_int, n_inst, leaf_k, SD, any_hit=False):
     def make_body(o_w, d_w):
         def body(st):
             live = st.cur != _DONE
-            curp = jnp.maximum(st.cur, 0)
-            nid = curp >> 8
-            mask = curp & 255
+            nid = jnp.maximum(st.cur, 0)
+            mask = st.cmask
             is_restore = live & (mask == 0)
             visit = live & ~is_restore
             is_int = visit & (nid < n_int)
@@ -791,11 +833,11 @@ def make_stepper_inst(rows, n_int, n_inst, leaf_k, SD, any_hit=False):
             hin = jnp.where(t_best < st.t_best, st.inst, st.hin)
             found = prim >= 0
 
-            # ---- internal: 8 slab tests from the same row
+            # ---- internal: W slab tests from the same row
             boxes = row[:, : 6 * WIDTH].reshape(row.shape[0], WIDTH, 6)
             child = row[:, 6 * WIDTH: 7 * WIDTH].astype(jnp.int32)
             tn, hit = _slab8(st.oc, inv_d, boxes, t_best)
-            hit &= is_int[:, None] & (child >= 0) & ((mask[:, None] & bits) > 0)
+            hit &= is_int[:, None] & (child >= 0) & ((mask[:, None] & bits) != 0)
 
             tn_m = jnp.where(hit, tn, INFINITY)
             best_slot = jnp.argmin(tn_m, axis=-1)
@@ -808,17 +850,15 @@ def make_stepper_inst(rows, n_int, n_inst, leaf_k, SD, any_hit=False):
             n_rem = jnp.sum(remaining.astype(jnp.int32), axis=-1)
             rem_bits = jnp.sum(jnp.where(remaining, bits, 0), axis=-1)
             single = jnp.sum(jnp.where(remaining, child, 0), axis=-1)
-            push_val = jnp.where(
-                n_rem == 1, single * 256 + _FRESH, nid * 256 + rem_bits
-            )
+            push_n = jnp.where(n_rem == 1, single, nid)
+            push_m = jnp.where(n_rem == 1, _FRESH, rem_bits)
             # instance entry pushes the RESTORE sentinel (mask 0)
-            push_val = jnp.where(is_instrow, nid * 256, push_val)
+            push_n = jnp.where(is_instrow, nid, push_n)
+            push_m = jnp.where(is_instrow, 0, push_m)
             do_push = (is_int & (n_rem >= 1)) | is_instrow
-            stack = jnp.where(
-                (slot_ids[None, :] == st.sp[:, None]) & do_push[:, None],
-                push_val[:, None],
-                st.stack,
-            )
+            at_sp = (slot_ids[None, :] == st.sp[:, None]) & do_push[:, None]
+            stack_n, stack_m = _stack_push(
+                st.stack_n, st.stack_m, at_sp, push_n, push_m)
             sp = st.sp + do_push.astype(jnp.int32)
 
             # ---- instance row: move the lane into object space
@@ -840,24 +880,22 @@ def make_stepper_inst(rows, n_int, n_inst, leaf_k, SD, any_hit=False):
                 need_pop &= ~found
             can_pop = need_pop & (sp > 0)
             sp_pop = jnp.maximum(sp - 1, 0)
-            popped = jnp.sum(
-                jnp.where(slot_ids[None, :] == sp_pop[:, None], stack, 0), axis=1
-            )
+            at_pop = slot_ids[None, :] == sp_pop[:, None]
+            popped_n, popped_m = _stack_pop(stack_n, stack_m, at_pop)
+            descend = is_int & any_child
             cur_next = jnp.where(
-                is_int & any_child,
-                near_child * 256 + _FRESH,
-                jnp.where(
-                    is_instrow,
-                    blas_root * 256 + _FRESH,
-                    jnp.where(can_pop, popped, _DONE),
-                ),
+                descend, near_child,
+                jnp.where(is_instrow, blas_root,
+                          jnp.where(can_pop, popped_n, _DONE)),
             )
+            cmask_next = jnp.where(descend | is_instrow, _FRESH, popped_m)
             if any_hit:
                 cur_next = jnp.where(found, _DONE, cur_next)
             sp = jnp.where(can_pop, sp_pop, sp)
             cur_next = jnp.where(live, cur_next, _DONE)
 
-            return _StI(cur=cur_next, sp=sp, stack=stack, t_best=t_best,
+            return _StI(cur=cur_next, cmask=cmask_next, sp=sp,
+                        stack_n=stack_n, stack_m=stack_m, t_best=t_best,
                         prim=prim, hin=hin, inst=inst, oc=oc, dc=dc,
                         it=st.it + 1)
         return body
@@ -899,9 +937,11 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
         make_ctx = make_stepper_inst(rows, n_int, n_inst, leaf_k, SD,
                                      any_hit=any_hit)
         st = _StI(
-            cur=jnp.full((R,), _FRESH, jnp.int32),  # root (id 0) fresh
+            cur=jnp.zeros((R,), jnp.int32),  # root (id 0) fresh
+            cmask=jnp.full((R,), _FRESH, jnp.int32),
             sp=jnp.zeros((R,), jnp.int32),
-            stack=jnp.zeros((R, SD), jnp.int32),
+            stack_n=jnp.zeros((R, SD), jnp.int32),
+            stack_m=_stack_m_init(R, SD),
             t_best=t_max,
             prim=jnp.full((R,), -1, jnp.int32),
             hin=jnp.full((R,), -1, jnp.int32),
@@ -912,9 +952,11 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
     else:
         make_ctx = make_stepper(rows, n_int, leaf_k, SD, any_hit=any_hit)
         st = _St(
-            cur=jnp.full((R,), _FRESH, jnp.int32),
+            cur=jnp.zeros((R,), jnp.int32),
+            cmask=jnp.full((R,), _FRESH, jnp.int32),
             sp=jnp.zeros((R,), jnp.int32),
-            stack=jnp.zeros((R, SD), jnp.int32),
+            stack_n=jnp.zeros((R, SD), jnp.int32),
+            stack_m=_stack_m_init(R, SD),
             t_best=t_max,
             prim=jnp.full((R,), -1, jnp.int32),
             it=jnp.int32(0),

@@ -186,6 +186,8 @@ class SceneMeta:
     mutations_per_pixel: int = 100
     env_light_ids: tuple = ()   # static indices of image-infinite lights
     volumetric: bool = False    # scene has media or material-less interfaces
+    open_scene: bool = False    # has infinite lights -> rays can escape
+                                # (drives the wavefront-vs-batched choice)
 
 
 def build_perspective_matrices(fov, resolution):
@@ -771,6 +773,10 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         film_out_matrix=film_out_matrix,
         env_light_ids=tuple(
             i for i, l in enumerate(b.lights) if l.type == bd.LIGHT_IMAGE_INFINITE
+        ),
+        open_scene=any(
+            l.type in (bd.LIGHT_UNIFORM_INFINITE, bd.LIGHT_IMAGE_INFINITE)
+            for l in b.lights
         ),
         volumetric=bool(
             len(b.media) > 0

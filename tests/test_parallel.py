@@ -53,3 +53,87 @@ def test_sharded_render_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(img_single), np.asarray(img_sharded), rtol=1e-4, atol=1e-5
     )
+
+
+def test_sharded_production_render_matches():
+    """VERDICT r3 item 3: the PRODUCTION render path (render_spp_fused) must
+    shard over the device mesh and produce the bit-same image as one device
+    — sample streams key on absolute (pixel, sample) ids, so partitioning
+    is invisible to the estimator."""
+    from pbrt_tpu.film import film as filmlib
+    from pbrt_tpu.integrators.render import (
+        render_spp_fused, render_spp_fused_sharded)
+    from pbrt_tpu.scene.testscenes import cornell_mesh
+
+    res = 16
+    n_pixels = res * res
+    scene, meta = cornell_mesh(res=res, spp=2, levels=3)  # BVH path, not dense
+    pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
+    kw = dict(n_spp=2, lanes_spp=2, max_depth=3, use_lens=False, res_x=res)
+
+    f1, n1 = render_spp_fused(scene, filmlib.new_film((res, res)),
+                              pixel_ids, 0, **kw)
+    f8, n8 = render_spp_fused_sharded(scene, filmlib.new_film((res, res)),
+                                      pixel_ids, 0,
+                                      devices=jax.devices()[:8], **kw)
+    assert float(n1) == float(n8), (float(n1), float(n8))
+    np.testing.assert_allclose(np.asarray(f1.rgb_sum), np.asarray(f8.rgb_sum),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f1.weight_sum),
+                               np.asarray(f8.weight_sum), rtol=1e-5, atol=1e-6)
+
+
+def test_render_entrypoint_uses_mesh():
+    """render() itself (the CLI path) must produce a finite, sane image when
+    >1 device exists — exercising the sharded branch end-to-end."""
+    from pbrt_tpu.integrators.render import render
+    from pbrt_tpu.scene.testscenes import cornell
+
+    scene, meta = cornell(res=16, spp=2)
+    img = render(scene, meta)
+    a = np.asarray(img)
+    assert a.shape == (16, 16, 3)
+    assert np.isfinite(a).all()
+    assert a.max() > 0.01
+
+
+def test_wavefront_matches_batched():
+    """The wavefront lane-recycling loop must reproduce the batched loop's
+    estimator exactly (same sample streams, same honest ray count)."""
+    from pbrt_tpu.film import film as filmlib
+    from pbrt_tpu.integrators.render import (
+        render_spp_fused, render_wavefront_fused)
+    from pbrt_tpu.scene.testscenes import cornell_mesh
+
+    res = 16
+    n_pix = res * res
+    scene, meta = cornell_mesh(res=res, spp=2, levels=3)
+    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    kw = dict(n_spp=2, max_depth=3, use_lens=False, res_x=res)
+    f1, n1 = render_spp_fused(scene, filmlib.new_film((res, res)), pixel_ids,
+                              0, lanes_spp=2, **kw)
+    f2, n2 = render_wavefront_fused(scene, filmlib.new_film((res, res)),
+                                    jnp.int32(0), n_pix, 0, pool=128, **kw)
+    assert float(n1) == float(n2)
+    np.testing.assert_allclose(np.asarray(f1.rgb_sum), np.asarray(f2.rgb_sum),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_wavefront_sharded_matches():
+    from pbrt_tpu.film import film as filmlib
+    from pbrt_tpu.integrators.render import (
+        render_wavefront_fused, render_wavefront_sharded)
+    from pbrt_tpu.scene.testscenes import cornell_mesh
+
+    res = 16
+    n_pix = res * res
+    scene, meta = cornell_mesh(res=res, spp=2, levels=3)
+    kw = dict(n_spp=2, max_depth=3, use_lens=False, res_x=res)
+    f1, n1 = render_wavefront_fused(scene, filmlib.new_film((res, res)),
+                                    jnp.int32(0), n_pix, 0, pool=256, **kw)
+    f8, n8 = render_wavefront_sharded(scene, filmlib.new_film((res, res)),
+                                      0, n_pix, 0, pool=32,
+                                      devices=jax.devices()[:8], **kw)
+    assert float(n1) == float(n8)
+    np.testing.assert_allclose(np.asarray(f1.rgb_sum), np.asarray(f8.rgb_sum),
+                               rtol=2e-4, atol=1e-5)

@@ -50,6 +50,8 @@ def main():
         scene, meta = ts.cornell(res=256, spp=4)
     elif which == "mesh5":
         scene, meta = ts.cornell_mesh(res=256, spp=4, levels=5)
+    elif which == "terrain":
+        scene, meta = ts.terrain(res=256, spp=4)
     else:
         scene, meta = ts.cornell_mesh(res=256, spp=4, levels=7)
     print(f"scene={which} R={R} tris={meta.n_tris} "
