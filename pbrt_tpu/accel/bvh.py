@@ -974,7 +974,7 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
     # iterating while its live count exceeds the next buffer (overflow-proof
     # — see make_cond), so the post-ladder safety loop is always a no-op.
     L_est = int(np.sqrt(max(P * K, 1))) // max(K, 1) + stack_depth
-    cap1 = jnp.int32(stack_depth + 4)
+    cap1 = jnp.int32(int(_os.environ.get("PBRT_TPU_BVH_CAP1", "2")))
     first_next = R // 4 if R // 4 >= 64 else None
     st = jax.lax.while_loop(make_cond(cap1, first_next), body, st)
 
@@ -1000,6 +1000,15 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
         — exactly correct (dense == ground truth) and cheap at few lanes."""
         soup = rows[n_int:, : K * 9].reshape(P * K, 9)
         TB = min(4096, P * K)  # triangles per dense block
+        # pad to a whole number of blocks: dynamic_slice CLAMPS an
+        # out-of-range start, which would silently shift the final block
+        # and misattribute prim ids (i * TB + best). Zero rows are
+        # degenerate triangles that never pass the watertight test — the
+        # same convention as leaf padding.
+        pad = (-(P * K)) % TB
+        if pad:
+            soup = jnp.concatenate(
+                [soup, jnp.zeros((pad, 9), soup.dtype)], axis=0)
 
         def dense_blk(i, carry):
             t_best, prim = carry
@@ -1029,7 +1038,8 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
     # grind (budget ~2e8 triangle tests; at 16k tris that's X=8192 lanes,
     # ~20 ms on the VPU — cheaper than 100 narrow iterations at the floor)
     X_dense = max(128, min(R, int(2e8 // max(P * K, 1))))
-    ladder = [(4, L_est), (16, 3 * L_est)]
+    _capl = int(_os.environ.get("PBRT_TPU_BVH_CAPL", "2"))
+    ladder = [(4, _capl), (16, max(_capl, 3 * L_est) if n_inst else _capl)]
     o_c, d_c = o, d
     frames = []  # (sel, outer_state) to scatter back through
     sub = st

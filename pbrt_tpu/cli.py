@@ -17,6 +17,11 @@ def main(argv=None):
                     help="film snapshot path; resumes from it if present")
     ap.add_argument("--checkpoint-every", type=int, default=0, metavar="SPP",
                     help="snapshot the film every N spp (needs --checkpoint)")
+    ap.add_argument("--preview-every", type=int, default=0, metavar="SPP",
+                    help="write the in-progress film PNG every N spp "
+                         "(progressive preview; path-family integrators)")
+    ap.add_argument("--preview-file", default=None, metavar="FILE.png",
+                    help="preview output path (default: the outfile)")
     ap.add_argument("--heatmap", default=None, metavar="FILE.png",
                     help="MLT integrators: write the sampling-density "
                          "heatmap PNG (reference GreyScaleFilm)")
@@ -52,6 +57,7 @@ def main(argv=None):
         scene, meta, out_path=args.outfile, verbose=not args.quiet,
         checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,
         heatmap_path=args.heatmap,
+        preview_path=args.preview_file, preview_every=args.preview_every,
     )
     t2 = time.time()
     if not args.quiet:

@@ -438,7 +438,8 @@ _SHARDED_CACHE = {}
 
 
 def render(scene, meta, tile_rays=1 << 20, verbose=False,
-           checkpoint_path=None, checkpoint_every=0, heatmap_path=None):
+           checkpoint_path=None, checkpoint_every=0, heatmap_path=None,
+           preview_path=None, preview_every=0):
     """Full render -> (H, W, 3) linear RGB jnp array.
 
     checkpoint_path + checkpoint_every>0: snapshot the film every
@@ -446,7 +447,12 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False,
     integrators; the fused render is re-entered at the saved sample index,
     so a killed render continues rather than restarts).
     heatmap_path: MLT integrators write the sampling-density heatmap PNG
-    (reference GreyScaleFilm) alongside the render."""
+    (reference GreyScaleFilm) alongside the render.
+    preview_path + preview_every>0: develop and write the in-progress film
+    PNG every `preview_every` spp — the reference's progressive GL preview
+    (gui/gl_helper.h:9-192) re-expressed as periodic file output (the film
+    is develop-able at any sample count because weights accumulate with the
+    samples, rgb_film.cu:114-116 semantics)."""
     if meta.integrator in ("mltpath", "mlt", "mltbdpt"):
         from pbrt_tpu.integrators import mlt as mlt_mod
 
@@ -473,15 +479,21 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False,
             film, spp_done = filmlib.load_checkpoint(checkpoint_path)
             if verbose:
                 print(f"resuming from {checkpoint_path} at {spp_done} spp")
+        pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
+        chunk = meta.spp
+        if checkpoint_path and checkpoint_every > 0:
+            chunk = checkpoint_every
+        if preview_path and preview_every > 0:
+            chunk = min(chunk, preview_every)
+        chunk = max(1, min(chunk, meta.spp))
+        # sample replicates per fori iteration: the largest divisor of the
+        # CHUNK that fits the lane budget (so checkpoint/preview chunking
+        # is honored exactly)
         lanes_spp = 1
-        for k in range(min(meta.spp, max(1, tile_rays // n_pixels)), 0, -1):
-            if meta.spp % k == 0:
+        for k in range(min(chunk, max(1, tile_rays // n_pixels)), 0, -1):
+            if chunk % k == 0:
                 lanes_spp = k
                 break
-        pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
-        chunk = (checkpoint_every if checkpoint_path and checkpoint_every > 0
-                 else meta.spp)
-        chunk = max(lanes_spp, (chunk // lanes_spp) * lanes_spp)
         # multi-device: shard the pixel grid over all devices (each runs the
         # whole fused loop on its shard; film psum'd once per chunk).
         # open scenes (infinite lights -> heavy early escape) use the
@@ -520,9 +532,20 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False,
                     scene, film, pixel_ids, s0, n_spp=n,
                     lanes_spp=min(lanes_spp, n), **common)
             s0 += n
-            if checkpoint_path and s0 < meta.spp:
+            if checkpoint_path and checkpoint_every > 0 and s0 < meta.spp:
                 film.rgb_sum.block_until_ready()
                 filmlib.save_checkpoint(checkpoint_path, film, s0)
+            if preview_path and preview_every > 0 and s0 < meta.spp:
+                from pbrt_tpu.film import png as _png
+
+                partial = filmlib.develop(
+                    film, meta.resolution,
+                    out_matrix=meta.film_out_matrix,
+                    imaging_ratio=meta.film_imaging_ratio,
+                )
+                _png.write_png(preview_path, filmlib.to_srgb8(partial))
+                if verbose:
+                    print(f"preview @ {s0}/{meta.spp} spp -> {preview_path}")
         return filmlib.develop(
             film, meta.resolution,
             out_matrix=meta.film_out_matrix,
@@ -603,6 +626,8 @@ def _write_heatmap_png(path, heat):
 def render_to_png(scene, meta, out_path=None, **kw):
     from pbrt_tpu.film import png
 
+    if kw.get("preview_every") and not kw.get("preview_path"):
+        kw["preview_path"] = out_path or meta.filename
     img = render(scene, meta, **kw)
     rgb8 = filmlib.to_srgb8(img)
     path = out_path or meta.filename

@@ -144,3 +144,39 @@ def test_bvh_render_matches_dense_render():
     # shared edges may route to a different-but-equal prim, so allow a few
     # ulps rather than exact equality
     np.testing.assert_allclose(img_b, img_d, rtol=1e-4, atol=1e-5)
+
+
+def test_bvh_ladder_exact_at_scale():
+    """Regression for the dense-finish dynamic_slice clamp bug (round 4):
+    at small R the compaction ladder's rungs and the exact dense sweep never
+    execute (R//divisor < 64 skips them), so exactness must also be gated at
+    a lane count where EVERY ladder stage runs. 16k lanes on the 16k-tri
+    mesh hands a real tail to dense_finish."""
+    from pbrt_tpu.scene import testscenes as ts
+    from pbrt_tpu.cameras import perspective
+
+    R = 1 << 14
+    scene, meta = ts.cornell_mesh(res=512, spp=1, levels=5)
+    pix = (jnp.arange(R, dtype=jnp.int32) * 16) % (512 * 512)
+    px = (pix % 512).astype(jnp.float32)
+    py = (pix // 512).astype(jnp.float32)
+    rays = perspective.generate_rays(
+        scene, jnp.stack([px, py], -1) + 0.5, jnp.zeros((R, 2)))
+    t_max = jnp.full((R,), INFINITY)
+    h = bvhlib.closest_hit_tris(scene, rays.o, rays.d, t_max)
+
+    tb = jnp.full((R,), INFINITY)
+    pb = jnp.full((R,), -1, jnp.int32)
+    TB = 4096
+    for i in range(0, scene.tri_p0.shape[0], TB):
+        t_b, _, hit_b = ix.intersect_tri_block(
+            rays.o, rays.d, tb, scene.tri_p0[i:i + TB],
+            scene.tri_p1[i:i + TB], scene.tri_p2[i:i + TB])
+        t_b = jnp.where(hit_b, t_b, jnp.inf)
+        best = jnp.argmin(t_b, -1)
+        rr = jnp.arange(R)
+        tbb = t_b[rr, best]
+        better = tbb < tb
+        tb = jnp.where(better, tbb, tb)
+        pb = jnp.where(better, (i + best).astype(jnp.int32), pb)
+    assert int((h.prim != pb).sum()) == 0

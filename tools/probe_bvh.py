@@ -26,7 +26,10 @@ from pbrt_tpu.utils.math import INFINITY
 
 
 def setup(levels, R):
-    scene, meta = ts.cornell_mesh(res=512, spp=1, levels=levels)
+    if levels == "terrain":
+        scene, meta = ts.terrain(res=512, spp=1)
+    else:
+        scene, meta = ts.cornell_mesh(res=512, spp=1, levels=levels)
     stride = max(1, (512 * 512) // R)
     pix = (jnp.arange(R, dtype=jnp.int32) * stride) % (512 * 512)
     px = (pix % 512).astype(jnp.float32)
@@ -100,7 +103,7 @@ def mode_iters(levels, R, bounce=False):
     def wrapped(carry):
         st, iters, leafv = carry
         live = st.cur != bvhlib._DONE
-        nid = jnp.maximum(st.cur, 0) >> 8
+        nid = jnp.maximum(st.cur, 0)
         leafv = leafv + (live & (nid >= n_int)).astype(jnp.int32)
         iters = iters + live.astype(jnp.int32)
         return body(st), iters, leafv
@@ -146,7 +149,9 @@ def mode_steptime(levels, R, n_steps=32):
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "iters"
-    levels = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    levels = sys.argv[2] if len(sys.argv) > 2 else 5
+    if levels != "terrain":
+        levels = int(levels)
     R = int(sys.argv[3]) if len(sys.argv) > 3 else (1 << 14)
     if mode == "iters":
         mode_iters(levels, R)
