@@ -456,7 +456,11 @@ class SceneBuilder:
                 remap_roughness=pd.get_bool("remaproughness", True),
             )
         elif mtype == "dielectric":
-            eta_f = pd.get_float("eta", None)
+            # "float eta" -> constant IOR; "spectrum eta" (e.g. glass-BK7)
+            # -> dispersive (dielectric_material.cu:40-60 both forms)
+            eta_f = (pd.get_float("eta", None)
+                     if ("eta" not in pd or pd.type_of("eta") == "float")
+                     else None)
             eta_idx = None
             if eta_f is None:
                 eta_idx = self.resolve_spectrum(pd, "eta")

@@ -12,6 +12,7 @@ _TYPES = {
     "bool",
     "integer",
     "float",
+    "point",
     "point2",
     "point3",
     "vector",
@@ -152,6 +153,10 @@ def parse_parameters(tokens, start):
         if len(parts) != 2 or parts[0] not in _TYPES:
             raise ValueError(f"bad parameter declarator {tok.value!r}")
         ptype, pname = parts
+        # legacy pbrt v1-v3 alias (reference parameter_dictionary
+        # accepts both): "point" == "point3"
+        if ptype == "point":
+            ptype = "point3"
         i += 1
         values = []
 
