@@ -36,7 +36,9 @@ from pbrt_tpu.scene import testscenes
 
 RES = 256
 SPP = 16
-LANES_SPP = 4  # sample replicates per fori_loop iteration (R = RES^2 * this)
+LANES_SPP = 8  # sample replicates per fori_loop iteration (R = RES^2 * this;
+               # 8 measured best on the chip: 512k lanes amortize the
+               # per-iteration floor, 1M lanes start paying HBM pressure)
 TARGET_RAYS_PER_SEC = 100e6
 BDPT_RES = 128  # bdpt traces ~4x the rays per sample of the path config
 BDPT_SPP = 8
@@ -116,6 +118,19 @@ def bench_config(name, make_scene, integrator="path"):
     }), flush=True)
 
 
+def _scene_file(name, res, spp, integrator=None):
+    import os
+
+    from pbrt_tpu.scene import builder as bd
+    from pbrt_tpu.scene.compile import compile_scene
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scenes", f"{name}.pbrt")
+    b = bd.SceneBuilder().parse_file(path)
+    b.film["xresolution"] = b.film["yresolution"] = res
+    return compile_scene(b, spp_override=spp, integrator_override=integrator)
+
+
 def main():
     import sys
     only = sys.argv[1] if len(sys.argv) > 1 else None
@@ -125,6 +140,10 @@ def main():
          lambda: testscenes.cornell(res=BDPT_RES, spp=BDPT_SPP), "bdpt"),
         ("cornell-mesh",
          lambda: testscenes.cornell_mesh(res=RES, spp=SPP, levels=5), "path"),
+        # BASELINE.md configs 2 & 4 as authored scenes (scenes/*.pbrt)
+        ("staircase", lambda: _scene_file("staircase", RES, SPP), "path"),
+        ("caustic-glass",
+         lambda: _scene_file("caustic-glass", BDPT_RES, BDPT_SPP), "bdpt"),
         ("terrain-ply", lambda: testscenes.terrain(res=RES, spp=SPP), "path"),
     ]
     for name, make, integ in configs:

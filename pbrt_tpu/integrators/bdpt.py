@@ -328,6 +328,7 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps,
         smp, uc = samplers.get_1d(smp, found, skind, spp)
         smp, u2 = samplers.get_2d(smp, found, skind, spp)
         bs = materials.bsdf_sample(b_full, hit.wo, uc, u2)
+        pdf_dir_mis = materials.mis_direction_pdf(b_full, hit.wo, bs)
         spec = bxdfs.is_specular(bs.flags)
 
         cos_term = vm.absdot(bs.wi, hit.ns)
@@ -377,7 +378,9 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps,
         med_next = jnp.where(cont, _medium_after(hit, bs.wi, medium), medium)
         new_carry = (
             jnp.where(cont[..., None], beta_next, beta),
-            jnp.where(spec, 0.0, bs.pdf),
+            # MIS pdf: re-estimated for coated lanes whose sample pdf is
+            # only proportional (bdpt.cu:509 pdf_is_proportional)
+            jnp.where(spec, 0.0, pdf_dir_mis),
             cont,
             hit.p,
             offset_ray_origin(hit.p, hit.ng, bs.wi, scene.ray_offset_scale),

@@ -381,6 +381,9 @@ def bounce_step(scene, state: PathState, regularize=False, skind="independent", 
     r, uc = samplers.get_1d(r, shade, skind, spp)
     r, u2 = samplers.get_2d(r, shade, skind, spp)
     bs = materials.bsdf_sample(bsdf, hit.wo, uc, u2)
+    # coated lanes: MIS pdf is re-estimated, not the proportional walk pdf
+    # (megakernel_path.cu:162; see materials.mis_direction_pdf)
+    pdf_mis = materials.mis_direction_pdf(bsdf, hit.wo, bs)
     cos_term = vm.absdot(bs.wi, hit.ns)
     beta_new = beta * bs.f * (cos_term / jnp.maximum(bs.pdf, 1e-20))[..., None]
 
@@ -429,7 +432,7 @@ def bounce_step(scene, state: PathState, regularize=False, skind="independent", 
         depth=state.depth + depth_cost,
         rr_next=rr_next,
         prev_pdf=jnp.where(
-            cont_surface, bs.pdf, jnp.where(med_scatter, pdf_med, state.prev_pdf)
+            cont_surface, pdf_mis, jnp.where(med_scatter, pdf_med, state.prev_pdf)
         ),
         prev_p=jnp.where(
             shade[..., None],

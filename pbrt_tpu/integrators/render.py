@@ -490,7 +490,10 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False,
         # CHUNK that fits the lane budget (so checkpoint/preview chunking
         # is honored exactly)
         lanes_spp = 1
-        for k in range(min(chunk, max(1, tile_rays // n_pixels)), 0, -1):
+        # cap at 8 replicates (~512k lanes at 256^2): measured optimum on
+        # the chip — wider batches amortize per-iteration launch overhead,
+        # 1M+ lanes regress (HBM pressure)
+        for k in range(min(chunk, 8, max(1, tile_rays // n_pixels)), 0, -1):
             if chunk % k == 0:
                 lanes_spp = k
                 break

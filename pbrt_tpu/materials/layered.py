@@ -172,15 +172,17 @@ def layered_f(p: LayeredParams, wo, wi):
             # RR (depth > 3 && beta small)
             bmax = jnp.max(beta, -1)
             r, u_rr = _r1(r)
-            if depth > 3:
-                q = jnp.maximum(0.0, 1.0 - bmax)
-                kill = alive & (bmax < 0.25) & (u_rr < q)
-                beta = jnp.where(
-                    (alive & (bmax < 0.25) & ~kill)[..., None],
-                    beta / jnp.maximum(1.0 - q, 1e-9)[..., None],
-                    beta,
-                )
-                alive = alive & ~kill
+            # RR only past depth 3 (layered_bxdf.h); depth is a loop-carried
+            # tracer under fori_loop, so the guard is a where-mask
+            rr_on = depth > 3
+            q = jnp.maximum(0.0, 1.0 - bmax)
+            kill = rr_on & alive & (bmax < 0.25) & (u_rr < q)
+            beta = jnp.where(
+                (rr_on & alive & (bmax < 0.25) & ~kill)[..., None],
+                beta / jnp.maximum(1.0 - q, 1e-9)[..., None],
+                beta,
+            )
+            alive = alive & ~kill
 
             # medium segment
             r, u_d = _r1(r)
@@ -319,8 +321,11 @@ def layered_f(p: LayeredParams, wo, wi):
             return (r, f_acc, beta, z, w, new_alive)
 
         carry = (r, f_acc, beta, z, w, alive)
-        for depth in range(p.max_depth):
-            carry = body(depth, carry)
+        # fori_loop, NOT a python unroll: the walk body inlined max_depth
+        # times (x3 entry points) made XLA's optimizer superlinear — a
+        # coateddiffuse scene's fused render took 14 min to COMPILE on
+        # XLA:CPU and timed out the chip tunnel (round-4 staircase scene)
+        carry = jax.lax.fori_loop(0, p.max_depth, body, carry)
         r, f_acc, beta, z, w, alive = carry
 
     return f_acc / p.n_samples
@@ -364,12 +369,12 @@ def layered_sample(p: LayeredParams, wo, uc, u2):
         # RR
         rr_beta = jnp.max(f_cur, -1) / jnp.maximum(pdf_cur, 1e-12)
         r, u_rr = _r1(r)
-        if depth > 3:
-            q = jnp.maximum(0.0, 1.0 - rr_beta)
-            trigger = walking & (rr_beta < 0.25)
-            kill = trigger & (u_rr < q)
-            pdf_cur = jnp.where(trigger & ~kill, pdf_cur * (1.0 - q), pdf_cur)
-            walking = walking & ~kill
+        rr_on = depth > 3
+        q = jnp.maximum(0.0, 1.0 - rr_beta)
+        trigger = rr_on & walking & (rr_beta < 0.25)
+        kill = trigger & (u_rr < q)
+        pdf_cur = jnp.where(trigger & ~kill, pdf_cur * (1.0 - q), pdf_cur)
+        walking = walking & ~kill
         walking = walking & (w[..., 2] != 0)
 
         # medium
@@ -443,8 +448,8 @@ def layered_sample(p: LayeredParams, wo, uc, u2):
 
     carry = (r, walking, done, f_cur, pdf_cur, spec_path, w, z,
              exit_f_val, exit_wi, exit_pdf, exit_spec)
-    for depth in range(p.max_depth):
-        carry = body(depth, carry)
+    # fori_loop, not a python unroll (see layered_f)
+    carry = jax.lax.fori_loop(0, p.max_depth, body, carry)
     (r, walking, done, f_cur, pdf_cur, spec_path, w, z,
      exit_f_val, exit_wi, exit_pdf, exit_spec) = carry
 

@@ -245,3 +245,19 @@ def bsdf_sample(b: Bsdf, wo_w, uc, u2):
         )
     wi_w = vm.from_local(b.fx, b.fy, b.fz, s.wi)
     return s._replace(wi=wi_w)
+
+
+def mis_direction_pdf(b: Bsdf, wo_w, bs: "bxdfs.BSDFSample"):
+    """Directional pdf to carry into the NEXT bounce's MIS weight.
+
+    The stochastic LayeredBxDF sample's pdf is only PROPORTIONAL
+    (layered_bxdf.h:269 pdf_is_proportional); the reference integrators
+    replace it with the (stochastic but consistent) BSDF::pdf estimate
+    before using it in MIS (megakernel_path.cu:162, wavefront_path.cu:469,
+    bdpt.cu:509) — feeding the proportional value in inflates MIS weights
+    on coated materials. Non-coated lanes keep bs.pdf. No-op (and no
+    layered walk compiled) for scenes without coated materials."""
+    if b.lay is None:
+        return bs.pdf
+    est = bsdf_pdf(b, wo_w, bs.wi)
+    return jnp.where(_is_coated(b.params.kind), est, bs.pdf)

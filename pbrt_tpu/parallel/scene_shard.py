@@ -1,0 +1,136 @@
+"""Scene (geometry) sharding — the "TP" axis for scenes too large for one
+chip's HBM (SURVEY §2.7 TP row; §5 long-context analogue: "optionally shard
+the scene (BVH/textures) across chips").
+
+The reference is single-GPU and holds the whole scene in unified memory;
+there is no counterpart. TPU-native design:
+
+  * the triangle soup is split into `n_parts` spatially-coherent chunks
+    (morton order over centroids, contiguous ranges) and each device
+    builds/owns ONE chunk's SAH BVH — per-device geometry memory is
+    ~T/n_parts rows instead of T;
+  * a closest-hit query runs under `shard_map`: rays are REPLICATED, each
+    device traverses its local sub-BVH only, then one all_gather + argmin
+    combines the per-device candidate hits over the device axis. The only
+    collective is that (R,) reduction per traversal — rays never migrate,
+    geometry never moves;
+  * compute cost rises (every ray visits every sub-tree) — the classic
+    memory/compute trade of object-space-partitioned ray tracing; use
+    when the scene does not fit one device.
+
+Exactness: the min over chunk-BVH hits is the global closest hit; verified
+against the single-tree traversal in tests/test_scene_shard.py.
+"""
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu.accel import bvh as bvhlib
+from pbrt_tpu.utils.math import encode_morton3
+
+
+class ShardedGeometry(NamedTuple):
+    """Per-part stacked geometry: leading axis = device/part. Every part
+    shares ONE static layout: internal rows in [0, n_int), leaf rows in
+    [n_int, n_int + max_leaves) — padding rows hold inverted boxes /
+    degenerate triangles that can never be visited or hit."""
+
+    rows: jnp.ndarray      # (n_parts, n_int + max_leaves, ROW_W)
+    src: jnp.ndarray       # (n_parts, max_leaves*K) i32 -> ORIGINAL tri id
+    n_int: int             # common static internal-row boundary
+    depth: int             # max stack bound across parts
+    leaf_k: int
+
+
+def build_sharded(p0, p1, p2, n_parts, leaf_k=bvhlib.LEAF_K):
+    """Split T triangles into n_parts morton-contiguous chunks and build a
+    BVH per chunk, normalized to one common row layout."""
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    p2 = np.asarray(p2, np.float32)
+    T = p0.shape[0]
+    cent = (np.minimum(np.minimum(p0, p1), p2)
+            + np.maximum(np.maximum(p0, p1), p2)) * 0.5
+    lo = cent.min(0)
+    ext = np.maximum(cent.max(0) - lo, 1e-30)
+    q = np.clip(((cent - lo) / ext) * 1023.0, 0, 1023.0).astype(np.uint32)
+    order = np.argsort(
+        encode_morton3(q[:, 0], q[:, 1], q[:, 2]), kind="stable")
+
+    bounds = np.linspace(0, T, n_parts + 1).astype(np.int64)
+    builds = []
+    for i in range(n_parts):
+        ids = order[bounds[i]:bounds[i + 1]]
+        if ids.size == 0:
+            ids = order[:1]  # degenerate tiny scene: duplicate a tri
+        b = bvhlib.build_bvh(p0[ids], p1[ids], p2[ids], leaf_k=leaf_k)
+        builds.append((b, ids))
+
+    B = max(b.n_int for b, _ in builds)               # common boundary
+    max_leaves = max(b.rows.shape[0] - b.n_int for b, _ in builds)
+    R_W = builds[0][0].rows.shape[1]
+    BIG = np.float32(3e38)
+
+    rows = np.zeros((n_parts, B + max_leaves, R_W), np.float32)
+    # padding internal rows: inverted boxes + child -1 (never visited)
+    rows[:, :B, 0: 6 * bvhlib.WIDTH: 6] = BIG
+    rows[:, :B, 3: 6 * bvhlib.WIDTH: 6] = -BIG
+    rows[:, :B, 6 * bvhlib.WIDTH: 7 * bvhlib.WIDTH] = -1.0
+    srcs = np.full((n_parts, max_leaves * leaf_k), -1, np.int32)
+    depth = 1
+    for i, (b, ids) in enumerate(builds):
+        n_leaves = b.rows.shape[0] - b.n_int
+        rows[i, :b.n_int] = b.rows[:b.n_int]
+        rows[i, B: B + n_leaves] = b.rows[b.n_int:]
+        # leaf child ids shift by the boundary padding
+        shift = B - b.n_int
+        if shift:
+            blk = rows[i, :b.n_int, 6 * bvhlib.WIDTH: 7 * bvhlib.WIDTH]
+            rows[i, :b.n_int, 6 * bvhlib.WIDTH: 7 * bvhlib.WIDTH] = np.where(
+                blk >= b.n_int, blk + shift, blk)
+        # remap chunk-local src to ORIGINAL triangle ids
+        srcs[i, :b.n_padded] = np.where(
+            b.src >= 0, ids[np.clip(b.src, 0, ids.size - 1)], -1)
+        depth = max(depth, b.max_depth)
+
+    return ShardedGeometry(
+        rows=jnp.asarray(rows), src=jnp.asarray(srcs),
+        n_int=int(B), depth=int(depth), leaf_k=int(leaf_k),
+    )
+
+
+def closest_hit_sharded(geom: ShardedGeometry, o, d, t_max, devices=None):
+    """Global closest hit with geometry sharded over devices: rays
+    replicated, per-device traversal of the local sub-BVH, then an
+    all_gather + argmin over the device axis. Returns (t, prim) with prim
+    the ORIGINAL triangle index (-1 miss)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devices = list(devices if devices is not None else jax.devices())
+    n = geom.rows.shape[0]
+    assert n == len(devices), (n, len(devices))
+    mesh = Mesh(np.asarray(devices), ("tp",))
+    n_int, depth, K = geom.n_int, geom.depth, geom.leaf_k
+
+    def shard_fn(rows, src, o, d, t_max):
+        t, prim, _ = bvhlib._traverse(
+            rows[0], n_int, depth, K, o, d, t_max)
+        orig = jnp.where(prim >= 0, src[0][jnp.maximum(prim, 0)], -1)
+        # min-reduce over the device axis: smallest t wins
+        both = jnp.stack([t, orig.astype(jnp.float32)], axis=0)
+        gathered = jax.lax.all_gather(both, "tp")          # (n, 2, R)
+        ts = gathered[:, 0]
+        ps = gathered[:, 1].astype(jnp.int32)
+        best = jnp.argmin(ts, axis=0)
+        rr = jnp.arange(t.shape[0])
+        return ts[best, rr], ps[best, rr]
+
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("tp"), P("tp"), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    return fn(geom.rows, geom.src, o, d, t_max)

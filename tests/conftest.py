@@ -23,7 +23,27 @@ jax.config.update("jax_platforms", "cpu")
 # item 9) — repeat runs hit the on-disk cache instead of re-lowering
 from pbrt_tpu.utils.jaxcfg import enable_compile_cache
 
-enable_compile_cache(os.path.expanduser("~/.cache/pbrt_tpu_jax_tests"))
+# key the cache dir by the host CPU signature: XLA:CPU AOT executables are
+# feature-specific and LOADING one compiled for a different host profile
+# segfaults inside the cache read (observed round 4: SIGSEGV in
+# compilation_cache.get_executable_and_time after a machine change)
+import hashlib
+import platform
+
+
+def _host_sig():
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return platform.machine()
+
+
+enable_compile_cache(
+    os.path.expanduser(f"~/.cache/pbrt_tpu_jax_tests_{_host_sig()}"))
 
 import numpy as np
 import pytest
