@@ -1037,7 +1037,8 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
     # dense-finish tail width: enough lanes that the narrow rungs never
     # grind (budget ~2e8 triangle tests; at 16k tris that's X=8192 lanes,
     # ~20 ms on the VPU — cheaper than 100 narrow iterations at the floor)
-    X_dense = max(128, min(R, int(2e8 // max(P * K, 1))))
+    _dense_budget = float(_os.environ.get("PBRT_TPU_BVH_DENSE_BUDGET", "2e8"))
+    X_dense = max(128, min(R, int(_dense_budget // max(P * K, 1))))
     _capl = int(_os.environ.get("PBRT_TPU_BVH_CAPL", "2"))
     ladder = [(4, _capl), (16, max(_capl, 3 * L_est) if n_inst else _capl)]
     o_c, d_c = o, d
