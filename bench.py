@@ -54,11 +54,12 @@ def run(scene, meta):
         pool = min(1 << 18, RES * RES * SPP)
 
         def all_spp(film, s0):
-            return render_wavefront_fused(
+            f, n, dropped = render_wavefront_fused(
                 scene, film, jnp.int32(0), RES * RES, s0,
                 n_spp=SPP, pool=pool, max_depth=meta.max_depth,
                 use_lens=False, res_x=RES,
             )
+            return f, n
     else:
         def all_spp(film, s0):
             return render_spp_fused(

@@ -285,8 +285,17 @@ def _wavefront_loop(
     weight = jnp.where(in_flight, weight, 0.0)
     state = state._replace(active=state.active & in_flight)
 
-    per_path_iters = max_depth if not volumetric else max_depth * 2 + 4
-    it_bound = jnp.int32((-(-total // R) + 1) * per_path_iters + per_path_iters)
+    # worst-case bounce_steps per path item: deactivation lands the step
+    # AFTER the last bounce, so a depth-terminated path costs max_depth+1
+    # steps; volumetric interface hops advance depth by only 0.3, so a path
+    # can take ceil(max_depth/0.3)+2 steps. The old (2*max_depth+4) budget
+    # under-counted and silently dropped samples once ceil(total/pool)
+    # exceeded ~2*max_depth (ADVICE r4 high). The loop exits early on
+    # ~any(in_flight), so a generous bound costs nothing; `dropped` below
+    # makes any residual violation loud instead of silent.
+    per_path_iters = (max_depth + 1 if not volumetric
+                      else -(-max_depth * 10 // 3) + 2)
+    it_bound = jnp.int32((-(-total // R) + 2) * per_path_iters)
 
     def cond(c):
         film, pix, weight, state, in_flight, next_work, it = c
@@ -324,8 +333,15 @@ def _wavefront_loop(
 
     carry = (film, pix, weight, state, in_flight,
              jnp.int32(min(R, total)), jnp.int32(0))
-    film, _, _, state, _, _, _ = jax.lax.while_loop(cond, body, carry)
-    return film, state.n_closest + state.n_shadow
+    film, _, _, state, in_flight, next_work, _ = jax.lax.while_loop(
+        cond, body, carry)
+    # truncation counter: work items never scheduled + lanes still in
+    # flight when the bound tripped. Zero in any correct run; callers
+    # surface it (render() raises) so bound violations can't silently
+    # under-sample again.
+    dropped = (jnp.int32(total) - next_work
+               + jnp.sum(in_flight.astype(jnp.int32)))
+    return film, state.n_closest + state.n_shadow, dropped
 
 
 @functools.partial(
@@ -349,6 +365,10 @@ def render_wavefront_sharded(scene, film, pix0, n_pix, s0, devices=None, **kw):
     devices = list(devices if devices is not None else jax.devices())
     n_dev = len(devices)
     mesh = Mesh(np.asarray(devices), ("dp",))
+    # a non-divisible n_pix would silently drop the trailing pixels for a
+    # direct caller (render() guards, but this function must fail loudly
+    # on its own — ADVICE r4 low)
+    assert n_pix % n_dev == 0, (n_pix, n_dev)
     n_loc = n_pix // n_dev
 
     def shard_fn(scene, film, pix0, s0):
@@ -359,14 +379,15 @@ def render_wavefront_sharded(scene, film, pix0, n_pix, s0, devices=None, **kw):
             weight_sum=jnp.zeros_like(film.weight_sum),
             splat=jnp.zeros_like(film.splat),
         )
-        local, nrays = _wavefront_loop(scene, zero, my_pix0, n_loc, s0, **kw)
+        local, nrays, dropped = _wavefront_loop(
+            scene, zero, my_pix0, n_loc, s0, **kw)
         total = jax.tree.map(lambda a: jax.lax.psum(a, "dp"), local)
         out = filmlib.Film(
             rgb_sum=film.rgb_sum + total.rgb_sum,
             weight_sum=film.weight_sum + total.weight_sum,
             splat=film.splat + total.splat,
         )
-        return out, jax.lax.psum(nrays, "dp")
+        return out, jax.lax.psum(nrays, "dp"), jax.lax.psum(dropped, "dp")
 
     key = ("wf", n_dev, tuple(id(d) for d in devices), n_loc,
            tuple(sorted(kw.items())))
@@ -375,7 +396,7 @@ def render_wavefront_sharded(scene, film, pix0, n_pix, s0, devices=None, **kw):
         fn = jax.jit(jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P(), P(), P(), P()),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P()),
             check_vma=False,
         ))
         _SHARDED_CACHE[key] = fn
@@ -504,7 +525,8 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False,
         # measured +37% on terrain; closed scenes keep ~full occupancy to
         # max_depth so the batched loop's lower per-iteration overhead wins.
         n_dev = len(jax.devices())
-        use_sharded = n_dev > 1 and n_pixels % n_dev == 0
+        use_sharded = (n_dev > 1 and n_pixels % n_dev == 0
+                       and os.environ.get("PBRT_TPU_AUTO_SHARD", "1") != "0")
         use_wavefront = bool(getattr(meta, "open_scene", False))
         if verbose and use_sharded:
             print(f"sharding {n_pixels} pixels over {n_dev} devices")
@@ -519,13 +541,21 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False,
         while s0 < meta.spp:
             n = min(chunk, meta.spp - s0)
             if use_wavefront and use_sharded:
-                film, _ = render_wavefront_sharded(
+                film, _, dropped = render_wavefront_sharded(
                     scene, film, 0, n_pixels, s0, n_spp=n,
                     pool=max(1024, pool // n_dev), **common)
+                if int(dropped) != 0:
+                    raise RuntimeError(
+                        f"wavefront loop dropped {int(dropped)} samples "
+                        "(iteration bound tripped — file a bug)")
             elif use_wavefront:
-                film, _ = render_wavefront_fused(
+                film, _, dropped = render_wavefront_fused(
                     scene, film, jnp.int32(0), n_pixels, s0, n_spp=n,
                     pool=pool, **common)
+                if int(dropped) != 0:
+                    raise RuntimeError(
+                        f"wavefront loop dropped {int(dropped)} samples "
+                        "(iteration bound tripped — file a bug)")
             elif use_sharded:
                 film, _ = render_spp_fused_sharded(
                     scene, film, pixel_ids, s0, n_spp=n,

@@ -68,7 +68,11 @@ def build_sharded(p0, p1, p2, n_parts, leaf_k=bvhlib.LEAF_K):
         b = bvhlib.build_bvh(p0[ids], p1[ids], p2[ids], leaf_k=leaf_k)
         builds.append((b, ids))
 
-    B = max(b.n_int for b, _ in builds)               # common boundary
+    # common boundary: >=1 so a leaf-only chunk (build_bvh returns n_int=0
+    # for chunks <= leaf_k tris) can get a synthesized one-child root —
+    # traversal always starts at internal row 0, so without a root such a
+    # part's triangles were unreachable (ADVICE r4 medium)
+    B = max(1, max(b.n_int for b, _ in builds))
     max_leaves = max(b.rows.shape[0] - b.n_int for b, _ in builds)
     R_W = builds[0][0].rows.shape[1]
     BIG = np.float32(3e38)
@@ -86,10 +90,18 @@ def build_sharded(p0, p1, p2, n_parts, leaf_k=bvhlib.LEAF_K):
         rows[i, B: B + n_leaves] = b.rows[b.n_int:]
         # leaf child ids shift by the boundary padding
         shift = B - b.n_int
-        if shift:
+        if shift and b.n_int:
             blk = rows[i, :b.n_int, 6 * bvhlib.WIDTH: 7 * bvhlib.WIDTH]
             rows[i, :b.n_int, 6 * bvhlib.WIDTH: 7 * bvhlib.WIDTH] = np.where(
                 blk >= b.n_int, blk + shift, blk)
+        if b.n_int == 0:
+            # synthesized one-child root: slot 0 box = chunk bounds,
+            # child -> the (shifted) single leaf row
+            tri = np.stack([p0[ids], p1[ids], p2[ids]])   # (3, n, 3)
+            rows[i, 0, 0:3] = tri.min((0, 1))
+            rows[i, 0, 3:6] = tri.max((0, 1))
+            rows[i, 0, 6 * bvhlib.WIDTH] = float(B)
+            depth = max(depth, 2)
         # remap chunk-local src to ORIGINAL triangle ids
         srcs[i, :b.n_padded] = np.where(
             b.src >= 0, ids[np.clip(b.src, 0, ids.size - 1)], -1)
@@ -118,19 +130,28 @@ def closest_hit_sharded(geom: ShardedGeometry, o, d, t_max, devices=None):
         t, prim, _ = bvhlib._traverse(
             rows[0], n_int, depth, K, o, d, t_max)
         orig = jnp.where(prim >= 0, src[0][jnp.maximum(prim, 0)], -1)
-        # min-reduce over the device axis: smallest t wins
-        both = jnp.stack([t, orig.astype(jnp.float32)], axis=0)
-        gathered = jax.lax.all_gather(both, "tp")          # (n, 2, R)
-        ts = gathered[:, 0]
-        ps = gathered[:, 1].astype(jnp.int32)
+        # min-reduce over the device axis: smallest t wins. t and prim are
+        # gathered SEPARATELY — packing prim ids into float32 loses ids
+        # >= 2^24, exactly the huge-scene regime this module exists for
+        # (ADVICE r4 medium)
+        ts = jax.lax.all_gather(t, "tp")                   # (n, R) f32
+        ps = jax.lax.all_gather(orig, "tp")                # (n, R) i32
         best = jnp.argmin(ts, axis=0)
         rr = jnp.arange(t.shape[0])
         return ts[best, rr], ps[best, rr]
 
-    fn = jax.jit(jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P("tp"), P("tp"), P(), P(), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    ))
+    key = ("closest", n, tuple(id(dv) for dv in devices), n_int, depth, K,
+           tuple(geom.rows.shape), tuple(o.shape))
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("tp"), P("tp"), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        _JIT_CACHE[key] = fn
     return fn(geom.rows, geom.src, o, d, t_max)
+
+
+_JIT_CACHE = {}

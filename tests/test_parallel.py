@@ -112,9 +112,10 @@ def test_wavefront_matches_batched():
     kw = dict(n_spp=2, max_depth=3, use_lens=False, res_x=res)
     f1, n1 = render_spp_fused(scene, filmlib.new_film((res, res)), pixel_ids,
                               0, lanes_spp=2, **kw)
-    f2, n2 = render_wavefront_fused(scene, filmlib.new_film((res, res)),
-                                    jnp.int32(0), n_pix, 0, pool=128, **kw)
+    f2, n2, d2 = render_wavefront_fused(scene, filmlib.new_film((res, res)),
+                                        jnp.int32(0), n_pix, 0, pool=128, **kw)
     assert float(n1) == float(n2)
+    assert int(d2) == 0
     np.testing.assert_allclose(np.asarray(f1.rgb_sum), np.asarray(f2.rgb_sum),
                                rtol=2e-4, atol=1e-5)
 
@@ -129,11 +130,39 @@ def test_wavefront_sharded_matches():
     n_pix = res * res
     scene, meta = cornell_mesh(res=res, spp=2, levels=3)
     kw = dict(n_spp=2, max_depth=3, use_lens=False, res_x=res)
-    f1, n1 = render_wavefront_fused(scene, filmlib.new_film((res, res)),
-                                    jnp.int32(0), n_pix, 0, pool=256, **kw)
-    f8, n8 = render_wavefront_sharded(scene, filmlib.new_film((res, res)),
-                                      0, n_pix, 0, pool=32,
-                                      devices=jax.devices()[:8], **kw)
+    f1, n1, d1 = render_wavefront_fused(scene, filmlib.new_film((res, res)),
+                                        jnp.int32(0), n_pix, 0, pool=256, **kw)
+    f8, n8, d8 = render_wavefront_sharded(scene, filmlib.new_film((res, res)),
+                                          0, n_pix, 0, pool=32,
+                                          devices=jax.devices()[:8], **kw)
     assert float(n1) == float(n8)
+    assert int(d1) == 0 and int(d8) == 0
     np.testing.assert_allclose(np.asarray(f1.rgb_sum), np.asarray(f8.rgb_sum),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_wavefront_bound_deep_queue():
+    """ADVICE r4 high: when ceil(total/pool) >> 2*max_depth the old
+    iteration bound tripped with lanes in flight and silently dropped
+    samples (weight_sum 7951 vs 8192 on this exact config). The corrected
+    bound must schedule every work item and report dropped == 0."""
+    from pbrt_tpu.film import film as filmlib
+    from pbrt_tpu.integrators.render import (
+        render_spp_fused, render_wavefront_fused)
+    from pbrt_tpu.scene.testscenes import cornell_mesh
+
+    res = 16
+    n_pix = res * res
+    scene, meta = cornell_mesh(res=res, spp=32, levels=3)
+    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    kw = dict(n_spp=32, max_depth=3, use_lens=False, res_x=res)
+    f1, n1 = render_spp_fused(scene, filmlib.new_film((res, res)), pixel_ids,
+                              0, lanes_spp=4, **kw)
+    f2, n2, d2 = render_wavefront_fused(scene, filmlib.new_film((res, res)),
+                                        jnp.int32(0), n_pix, 0, pool=64, **kw)
+    assert int(d2) == 0
+    assert float(n1) == float(n2)
+    np.testing.assert_allclose(float(jnp.sum(f1.weight_sum)),
+                               float(jnp.sum(f2.weight_sum)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f1.rgb_sum), np.asarray(f2.rgb_sum),
                                rtol=2e-4, atol=1e-5)
