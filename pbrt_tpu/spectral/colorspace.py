@@ -54,13 +54,10 @@ def to_sensor_rgb(L, lam, pdf, cie_xyz_dense, imaging_ratio=1.0):
     L, lam, pdf: (..., 4); cie_xyz_dense: (3, 471) -> (..., 3).
     """
     s = jnp.where(pdf != 0.0, L / jnp.where(pdf == 0.0, 1.0, pdf), 0.0)
-    xyz = jnp.stack(
-        [
-            jnp.mean(spectra.sample_dense(cie_xyz_dense[i], lam) * s, axis=-1)
-            for i in range(3)
-        ],
-        axis=-1,
-    )
+    # all three CIE curves sampled in one pass (shared bin one-hots —
+    # spectra.sample_dense_stack); mean over the 4 hero wavelengths
+    curves = spectra.sample_dense_stack(cie_xyz_dense, lam)   # (..., 4, 3)
+    xyz = jnp.mean(curves * s[..., None], axis=-2)
     return imaging_ratio * xyz
 
 
