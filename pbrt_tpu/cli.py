@@ -22,6 +22,9 @@ def main(argv=None):
                          "(progressive preview; path-family integrators)")
     ap.add_argument("--preview-file", default=None, metavar="FILE.png",
                     help="preview output path (default: the outfile)")
+    ap.add_argument("--shard-scene", type=int, default=0, metavar="N",
+                    help="partition the scene geometry over N devices "
+                         "(TP axis; for scenes larger than one chip's HBM)")
     ap.add_argument("--heatmap", default=None, metavar="FILE.png",
                     help="MLT integrators: write the sampling-density "
                          "heatmap PNG (reference GreyScaleFilm)")
@@ -53,6 +56,18 @@ def main(argv=None):
             f"integrator={meta.integrator} (devices: {jax.devices()})"
         )
     t1 = time.time()
+    if args.shard_scene:
+        from pbrt_tpu.film import film as filmlib, png as pnglib
+        from pbrt_tpu.integrators.render import render_scene_sharded
+
+        img = render_scene_sharded(scene, meta, n_parts=args.shard_scene)
+        path = args.outfile or meta.filename
+        pnglib.write_png(path, filmlib.to_srgb8(img))
+        t2 = time.time()
+        if not args.quiet:
+            print(f"parse+compile {t1 - t0:.2f}s, scene-sharded render "
+                  f"x{args.shard_scene} {t2 - t1:.2f}s -> {path}")
+        return 0
     out = render_to_png(
         scene, meta, out_path=args.outfile, verbose=not args.quiet,
         checkpoint_path=args.checkpoint, checkpoint_every=args.checkpoint_every,

@@ -24,10 +24,16 @@ material-less interfaces and homogeneous media (compute_G,
 bdpt.cu:280-286; base->compute_transmittance at :652,:695), and subpath
 walks pass through interfaces with deterministic transmittance.
 
-Remaining gap vs reference (documented, not silent): no in-medium
-scattering VERTICES on subpaths (bdpt.cu:431-472 VertexType::medium) —
-media attenuate subpaths and connections but phase-scattering path
-contributions come only from the path/MLT integrators.
+Media (bdpt.cu:431-472 VertexType::medium): when the scene has media,
+every subpath segment distance-samples sigma_t (exponential vs the
+average channel, matching path.bounce_step) and a scatter event creates a
+VT_MEDIUM vertex whose f/pdf are the HG phase function — connectible,
+non-delta, cos-free in density conversions (bdpt.h:51,78,136). Interface
+hops cross without attenuation (the reference's pass-through at
+bdpt.cu:410-427; medium transmittance is carried by the distance
+sampling itself under the spectrally-uniform-sigma convention shared
+with path.py). Connection segments still use deterministic
+compute_transmittance (compute_G, bdpt.cu:280-286).
 """
 import functools
 from typing import NamedTuple
@@ -51,6 +57,8 @@ VT_LIGHT = 2
 VT_SURFACE = 3
 VT_LIGHT_INF = 4   # escaped camera ray captured as an infinite-light vertex
                    # (reference bdpt.cu:475-483 Vertex::create_light(ray))
+VT_MEDIUM = 5      # in-medium phase-scatter vertex (bdpt.cu:431-472
+                   # Vertex::create_medium; f/pdf = HG phase, no cosine)
 
 
 class V(NamedTuple):
@@ -155,11 +163,20 @@ def _vertex_bsdf(scene, v: V, wl):
 
 
 def _vertex_f(scene, v: V, to: V, wl):
-    """BSDF value at v towards `to` (bdpt.h Vertex::f), zero for endpoints."""
+    """BSDF (or phase-function) value at v towards `to` (bdpt.h Vertex::f),
+    zero for endpoints. Medium vertices evaluate the HG phase of v's medium
+    (bdpt.h:78 f() medium branch; phase value is wavelength-flat)."""
     wi, _ = _dir_to(v.p, to.p)
     b = _vertex_bsdf(scene, v, wl)
     f = materials.bsdf_f(b, v.wo, wi)
-    return jnp.where((v.vtype == VT_SURFACE)[..., None], f, 0.0)
+    if int(scene.med_g.shape[0]) > 0:
+        from pbrt_tpu.sampling import warps
+
+        g = scene.med_g[jnp.maximum(v.med, 0)]
+        p_hg = warps.henyey_greenstein(vm.dot(v.wo, wi), g)
+        f = jnp.where((v.vtype == VT_MEDIUM)[..., None], p_hg[..., None], f)
+    ok = (v.vtype == VT_SURFACE) | (v.vtype == VT_MEDIUM)
+    return jnp.where(ok[..., None], f, 0.0)
 
 
 def _vertex_pdf(scene, v: V, prev: V, nxt: V, wl, prev_valid):
@@ -167,9 +184,18 @@ def _vertex_pdf(scene, v: V, prev: V, nxt: V, wl, prev_valid):
     (bdpt.h Vertex::pdf)."""
     wn, _ = _dir_to(v.p, nxt.p)
     wp, _ = _dir_to(v.p, prev.p)
+    wp_eff = jnp.where(prev_valid[..., None], wp, v.wo)
     # surface: bsdf pdf
     b = _vertex_bsdf(scene, v, wl)
-    pdf_surf = materials.bsdf_pdf(b, jnp.where(prev_valid[..., None], wp, v.wo), wn)
+    pdf_surf = materials.bsdf_pdf(b, wp_eff, wn)
+    if int(scene.med_g.shape[0]) > 0:
+        # medium: HG phase pdf of the vertex's medium (bdpt.h:136 pdf()
+        # medium branch)
+        from pbrt_tpu.sampling import warps
+
+        g = scene.med_g[jnp.maximum(v.med, 0)]
+        p_hg = warps.henyey_greenstein(vm.dot(wp_eff, wn), g)
+        pdf_surf = jnp.where(v.vtype == VT_MEDIUM, p_hg, pdf_surf)
     # camera: pdf_we directional
     _, pdf_cam = perspective.pdf_we(scene, v.p, wn)
     # light endpoint: emission direction pdf
@@ -258,10 +284,14 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps,
     optimizer superlinear). Returns (list of per-step V slots,
     (endpoint_rev_dir, first_vertex), smp).
 
-    Media handling: segments pass through material-less interfaces
-    (bdpt.cu:411-427) with deterministic homogeneous transmittance folded
-    into beta; escaped camera rays become VT_LIGHT_INF vertices
-    (bdpt.cu:475-483).
+    Media handling (bdpt.cu:431-472): each segment leg distance-samples
+    sigma_t against the leg length; a scatter event stops the segment and
+    emits a VT_MEDIUM vertex (beta *= sigma_s/sigma_t, path.py's
+    spectrally-uniform convention), continuation resamples the HG phase
+    and both fwd/rev densities use the phase pdf. Interface crossings pass
+    through WITHOUT attenuation (reference bdpt.cu:410-427 — medium
+    transmittance is carried by the distance sampling); escaped camera
+    rays become VT_LIGHT_INF vertices (bdpt.cu:475-483).
 
     Known approximation: a segment crosses at most 4 consecutive
     material-less interfaces; a lane still on an interface after the 4th
@@ -274,15 +304,20 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps,
     med0 = (jnp.broadcast_to(jnp.asarray(medium0, jnp.int32), (R,))
             if medium0 is not None else jnp.full((R,), -1, jnp.int32))
 
-    from pbrt_tpu.integrators.path import _medium_after, _sigma_t
+    from pbrt_tpu.integrators.path import _medium_after
+    from pbrt_tpu.spectral import spectra as _spectra
+    from pbrt_tpu.sampling import warps as _warps
 
     def body(carry, _):
         beta, pdf_fwd_dir, active, prev_p, cur_o, cur_d, medium, n_rays, smp = carry
         n_rays = n_rays + jnp.sum(active.astype(jnp.float32))
+        scat = jnp.zeros((R,), bool)
+        p_scat = cur_o
         if has_media:
-            # segment walk: cross up to 4 material-less interfaces,
-            # attenuating beta by the homogeneous transmittance of each leg
-            trans = jnp.ones((R, 4))
+            # segment walk: cross up to 4 material-less interfaces; inside
+            # a medium each leg samples an exponential scatter distance
+            # (bdpt.cu:431-443; exponential vs the average sigma_t channel
+            # exactly like path.bounce_step so the two estimators agree)
             o_h = cur_o
             med_h = medium
             done = ~active
@@ -290,40 +325,60 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps,
             for _hop in range(4):
                 t_cap = jnp.where(done, 0.0, INFINITY)
                 h = dispatch.intersect(scene, o_h, cur_d, t_cap)
-                seg = jnp.where(h.valid, h.t, 2.0 * scene.scene_radius)
-                att = jnp.exp(-_sigma_t(scene, med_h, wl.lam)
-                              * jnp.minimum(seg, 1e20)[..., None])
-                trans = jnp.where(done[..., None], trans, trans * att)
+                seg = jnp.where(h.valid, h.t, INFINITY)
+                in_med = ~done & (med_h >= 0)
+                smp, u_dist = samplers.get_1d(smp, in_med, skind, spp)
+                m_c = jnp.maximum(med_h, 0)
+                sig_a = _spectra.sample_table(scene.med_sigma_a, m_c, wl.lam)
+                sig_s = _spectra.sample_table(scene.med_sigma_s, m_c, wl.lam)
+                sig_t = sig_a + sig_s
+                sig_t_avg = jnp.mean(sig_t, axis=-1)
+                t_samp = -jnp.log1p(
+                    -jnp.clip(u_dist, 0.0, 1.0 - 1e-7)
+                ) / jnp.maximum(sig_t_avg, 1e-12)
+                scat_now = in_med & (t_samp < seg)
+                beta = jnp.where(
+                    scat_now[..., None],
+                    beta * sig_s / jnp.maximum(sig_t, 1e-12),
+                    beta,
+                )
+                p_scat = jnp.where(
+                    scat_now[..., None], o_h + t_samp[..., None] * cur_d, p_scat
+                )
+                scat = scat | scat_now
                 hit = h if hit is None else jax.tree_util.tree_map(
                     lambda a, b: jnp.where(
                         done.reshape(done.shape + (1,) * (a.ndim - 1)), a, b),
                     hit, h,
                 )
-                is_iface = h.valid & (h.mat < 0) & ~done
+                is_iface = h.valid & (h.mat < 0) & ~done & ~scat_now
                 o_h = jnp.where(
                     is_iface[..., None],
                     offset_ray_origin(h.p, h.ng, cur_d, scene.ray_offset_scale),
                     o_h,
                 )
                 med_h = jnp.where(is_iface, _medium_after(h, cur_d, med_h), med_h)
-                done = done | ~is_iface
-            beta = beta * trans
+                done = done | ~is_iface | scat_now
             medium = med_h
         else:
             hit = dispatch.intersect(
                 scene, cur_o, cur_d, jnp.where(active, INFINITY, 0.0)
             )
-        found = active & hit.valid & (hit.mat >= 0)
-        esc = active & ~hit.valid
-        if has_media:
-            esc = esc & jnp.any(beta > 0, -1)
+        found = active & ~scat & hit.valid & (hit.mat >= 0)
+        esc = active & ~scat & ~hit.valid
 
         mat_r = materials.resolve_mix(scene, hit.mat, hit.p, hit.wo)
         b_full, _ = materials.make_bsdf(scene, mat_r, hit.ns, wl, hit.uv, hit.p)
 
-        w_in, dist2 = _dir_to(prev_p, hit.p)
+        v_p = jnp.where(scat[..., None], p_scat, hit.p) if has_media else hit.p
+        w_in, dist2 = _dir_to(prev_p, v_p)
         cosv = vm.absdot(hit.ng, w_in)
-        pdf_fwd = jnp.where(found, pdf_fwd_dir * cosv / jnp.maximum(dist2, 1e-24), 0.0)
+        # medium vertices convert density without a cosine (bdpt.h:166-171
+        # convert_density: cos only when the target is on a surface)
+        cos_eff = jnp.where(scat, 1.0, cosv) if has_media else cosv
+        pdf_fwd = jnp.where(
+            found | scat, pdf_fwd_dir * cos_eff / jnp.maximum(dist2, 1e-24), 0.0
+        )
 
         smp, uc = samplers.get_1d(smp, found, skind, spp)
         smp, u2 = samplers.get_2d(smp, found, skind, spp)
@@ -331,9 +386,22 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps,
         pdf_dir_mis = materials.mis_direction_pdf(b_full, hit.wo, bs)
         spec = bxdfs.is_specular(bs.flags)
 
+        if has_media:
+            # medium continuation: HG phase resample (bdpt.cu:456-466);
+            # rho/pdf == 1 for HG so beta is unchanged, and the reverse
+            # density equals the forward one (phase depends only on the
+            # angle between the two directions)
+            smp, u_ph = samplers.get_2d(smp, scat, skind, spp)
+            g_m = scene.med_g[jnp.maximum(medium, 0)]
+            wi_med, pdf_med = _warps.sample_henyey_greenstein(-cur_d, g_m, u_ph)
+        else:
+            wi_med = cur_d
+            pdf_med = jnp.zeros((R,))
+
         cos_term = vm.absdot(bs.wi, hit.ns)
         beta_next = beta * bs.f * (cos_term / jnp.maximum(bs.pdf, 1e-20))[..., None]
         cont = found & bs.valid & jnp.any(beta_next > 0, -1)
+        cont_med = scat & (pdf_med > 0.0)
 
         # reverse-directional pdf towards the previous vertex (cached lobes)
         kind = b_full.params.kind
@@ -344,31 +412,38 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps,
         b_cheap = materials.Bsdf(params=b_full.params._replace(kind=kind),
                                  fx=b_full.fx, fy=b_full.fy, fz=b_full.fz, lay=None)
         rev_dir = jnp.where(spec, 0.0, materials.bsdf_pdf(b_cheap, bs.wi, hit.wo))
+        if has_media:
+            rev_dir = jnp.where(scat, pdf_med, rev_dir)
 
         # escaped camera rays become infinite-light vertices: position far
         # along the ray, pdf_fwd kept in the SOLID-ANGLE measure
         # (bdpt.cu:475-483 + the infinite-vertex MIS conventions)
         esc_v = esc & bool(mode_radiance)
         vtype = jnp.where(
-            found, VT_SURFACE, jnp.where(esc_v, VT_LIGHT_INF, VT_NONE)
+            found, VT_SURFACE,
+            jnp.where(scat, VT_MEDIUM,
+                      jnp.where(esc_v, VT_LIGHT_INF, VT_NONE)),
         ).astype(jnp.int32)
         p_esc = cur_o + cur_d * (4.0 * scene.scene_radius)
+        zero3 = jnp.zeros((R, 3))
         vtx = V(
             vtype=vtype,
-            p=jnp.where(esc_v[..., None], p_esc, hit.p),
-            ng=jnp.where(esc_v[..., None], -cur_d, hit.ng),
-            ns=jnp.where(esc_v[..., None], -cur_d, hit.ns),
+            p=jnp.where(esc_v[..., None], p_esc, v_p),
+            ng=jnp.where(esc_v[..., None], -cur_d,
+                         jnp.where(scat[..., None], zero3, hit.ng)),
+            ns=jnp.where(esc_v[..., None], -cur_d,
+                         jnp.where(scat[..., None], zero3, hit.ns)),
             uv=hit.uv,
-            beta=jnp.where((found | esc_v)[..., None], beta, 0.0),
+            beta=jnp.where((found | esc_v | scat)[..., None], beta, 0.0),
             pdf_fwd=jnp.where(esc_v, pdf_fwd_dir, pdf_fwd),
             pdf_rev=jnp.zeros((R,)),
             delta=found & spec,
             light=jnp.where(found, hit.light, -1),
             mat=jnp.where(found, hit.mat, -1),
-            med=jnp.where(found, medium, -1),
+            med=jnp.where(found | scat, medium, -1),
             med_in=jnp.where(found, hit.med_in, -1),
             med_out=jnp.where(found, hit.med_out, -1),
-            wo=jnp.where(esc_v[..., None], -cur_d, hit.wo),
+            wo=jnp.where((esc_v | scat)[..., None], -cur_d, hit.wo),
             bx=b_full.params,
             fx=b_full.fx,
             fy=b_full.fy,
@@ -376,15 +451,21 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps,
         )
 
         med_next = jnp.where(cont, _medium_after(hit, bs.wi, medium), medium)
+        cont_any = cont | cont_med
+        new_o = jnp.where(
+            scat[..., None], p_scat,
+            offset_ray_origin(hit.p, hit.ng, bs.wi, scene.ray_offset_scale),
+        )
         new_carry = (
             jnp.where(cont[..., None], beta_next, beta),
             # MIS pdf: re-estimated for coated lanes whose sample pdf is
-            # only proportional (bdpt.cu:509 pdf_is_proportional)
-            jnp.where(spec, 0.0, pdf_dir_mis),
-            cont,
-            hit.p,
-            offset_ray_origin(hit.p, hit.ng, bs.wi, scene.ray_offset_scale),
-            bs.wi,
+            # only proportional (bdpt.cu:509 pdf_is_proportional); medium
+            # lanes carry the phase pdf (bdpt.cu:459)
+            jnp.where(scat, pdf_med, jnp.where(spec, 0.0, pdf_dir_mis)),
+            cont_any,
+            v_p,
+            new_o,
+            jnp.where(scat[..., None], wi_med, bs.wi),
             med_next,
             n_rays,
             smp,
@@ -406,10 +487,16 @@ def _walk(scene, o, d, beta0, pdf_dir0, wl, smp, skind, spp, n_steps,
     dist2 = jnp.sum(w * w, axis=-1)
     w = w / jnp.sqrt(jnp.maximum(dist2, 1e-24))[..., None]
     cos = jnp.abs(jnp.sum(cur_ng * w, axis=-1))
-    # only SURFACE successors contribute a bsdf reverse pdf; escape slots
-    # carry garbage bs state (the s=0 MIS recomputes endpoint revs itself)
+    # the receiving vertex's cosine applies only when IT is a surface
+    # (convert_density; a medium receiver has ng=0 which would wrongly
+    # zero the density)
+    cos = jnp.where(stacked.vtype[:-1] == VT_SURFACE, cos, 1.0)
+    # SURFACE/MEDIUM successors contribute a bsdf/phase reverse pdf;
+    # escape slots carry garbage bs state (the s=0 MIS recomputes endpoint
+    # revs itself)
     pdf_rev_fill = jnp.where(
-        nxt.vtype == VT_SURFACE, rev_dirs[1:] * cos / jnp.maximum(dist2, 1e-24), 0.0
+        (nxt.vtype == VT_SURFACE) | (nxt.vtype == VT_MEDIUM),
+        rev_dirs[1:] * cos / jnp.maximum(dist2, 1e-24), 0.0
     )
     pdf_rev = jnp.concatenate([pdf_rev_fill, jnp.zeros((1, R))], axis=0)
     stacked = stacked._replace(pdf_rev=pdf_rev)
@@ -451,13 +538,13 @@ def light_path(scene, smp, wl, max_depth, skind, spp, env_ids=()):
     sample_le, with the infinite-area density corrections of :593-609)."""
     from pbrt_tpu.scene import builder as bd
 
+    # O(1) alias-table pick shared with the path integrator and the s=1
+    # strategy (PowerLightSampler, power_light_sampler.cu:7-63) — one
+    # sampler, no CDF scans anywhere in the integrators
+    from pbrt_tpu.integrators.path import _pick_light
+
     smp, u_pick = samplers.get_1d(smp, None, skind, spp)
-    cdf = jnp.cumsum(scene.lt_pmf)
-    li = jnp.clip(
-        jnp.searchsorted(cdf, u_pick, side="right").astype(jnp.int32),
-        0, scene.lt_pmf.shape[0] - 1,
-    )
-    pmf = scene.lt_pmf[li]
+    li, pmf = _pick_light(scene, u_pick)
     smp, u_pos = samplers.get_2d(smp, None, skind, spp)
     smp, u_dir = samplers.get_2d(smp, None, skind, spp)
     Le, p, ng, w, pdf_pos, pdf_dir, ok = lights.sample_le(scene, li, u_pos, u_dir, wl.lam)
@@ -488,9 +575,13 @@ def light_path(scene, smp, wl, max_depth, skind, spp, env_ids=()):
     )
     beta0 = jnp.where(ok[..., None], beta0, 0.0)
     o = offset_ray_origin(p, ng, w, scene.ray_offset_scale)
+    # light rays start in the light's creation-state medium (reference
+    # base/light.cu ctors carry the graphics-state medium; without this a
+    # whole-world fog scene would never scatter light subpaths)
+    med0 = lights.take_rows(scene.lt_medium, li)
     surf, (ep_rev, first_v), smp, n_rays = _walk(
         scene, o, w, beta0, jnp.where(ok, pdf_dir, 0.0), wl, smp,
-        skind, spp, max_depth, False,
+        skind, spp, max_depth, False, medium0=med0,
     )
     if first_v is not None:
         w_b, dist2 = _dir_to(first_v.p, light_v.p)
@@ -666,7 +757,9 @@ def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp, env_ids=()):
         smp, u_lens = samplers.get_2d(smp, None, skind, spp)
         wi, wv, pdf, p_raster, p_lens, cam_ok = perspective.sample_wi(scene, qs.p, u_lens)
         f_qs = _vertex_f(scene, qs, _empty_vertex(R)._replace(p=p_lens), wl)
-        ns_cos = vm.absdot(qs.ns, wi)
+        # the endpoint cosine applies only to surface vertices (medium
+        # vertices have no normal; pbrt connect_bdpt t==1 is_on_surface)
+        ns_cos = jnp.where(qs.vtype == VT_SURFACE, vm.absdot(qs.ns, wi), 1.0)
         L = qs.beta * f_qs * (wv / jnp.maximum(pdf, 1e-12))[..., None] * ns_cos[..., None]
         # visibility / transmittance along the lens segment (bdpt.cu:652)
         attempt = _is_connectible(qs) & cam_ok & jnp.any(f_qs > 0, -1)
@@ -697,7 +790,8 @@ def connect(scene, light_vs, cam_vs, s, t, wl, smp, skind, spp, env_ids=()):
         smp, u2 = samplers.get_2d(smp, None, skind, spp)
         ls = lights.sample_li(scene, li, pt.p, pt.ns, u2, wl.lam, scene.scene_radius)
         f_pt = _vertex_f(scene, pt, _empty_vertex(R)._replace(p=ls.p_light), wl)
-        cos_pt = vm.absdot(pt.ns, ls.wi)
+        # surface-only cosine (pbrt connect_bdpt s==1 is_on_surface)
+        cos_pt = jnp.where(pt.vtype == VT_SURFACE, vm.absdot(pt.ns, ls.wi), 1.0)
         L = (
             pt.beta
             * f_pt

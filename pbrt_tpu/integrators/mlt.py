@@ -127,11 +127,13 @@ def _accept_and_splat(splat, heat, x_cur, x_prop, rgb_cur, rgb_prop, y_cur, y_pr
     return splat, heat, x_new, rgb_new, y_new, pix_new, a
 
 
-def eval_x_bdpt(scene, x, *, max_depth, res_x, res_y, env_ids=(), volumetric=False):
+def eval_x_bdpt(scene, x, *, max_depth, res_x, res_y, env_ids=()):
     """Evaluate the FULL staged-BDPT estimator from a primary-sample vector
     x (R, D) (mlt-bdpt target; reference integrators/mlt_bdpt.cu:120-200).
     Returns (pix (C, R), rgb (C, R, 3), y_total (R,)) — C static
-    contributions: the camera-pixel sum plus one per t=1 splat strategy."""
+    contributions: the camera-pixel sum plus one per t=1 splat strategy.
+    Media handling needs no flag: bdpt._walk creates in-medium phase
+    vertices whenever the scene's media tables are non-empty (static)."""
     from pbrt_tpu.integrators import bdpt as bdpt_mod
 
     R = x.shape[0]
@@ -193,8 +195,10 @@ def render_mlt_bdpt(scene, meta, n_chains=N_CHAINS, n_bootstrap=None, seed=0,
     res_x, res_y = meta.resolution
     n_pixels = res_x * res_y
     # dims: film(2) + lambda(1) + camera walk + light walk + per-strategy
-    # connection draws; generous so overflow dims (PCG fallback) stay unused
-    D = 16 + 16 * (meta.max_depth + 2)
+    # connection draws; generous so overflow dims (PCG fallback) stay unused.
+    # Volumetric walks consume ~9 dims/step (4 hop distance samples + bsdf
+    # 3 + phase 2) instead of 3, so media scenes get a larger budget.
+    D = 16 + (40 if meta.volumetric else 16) * (meta.max_depth + 2)
     n_bootstrap = n_bootstrap or max(n_chains * 4, 1 << 16)
     key = jax.random.PRNGKey(seed)
     kw = dict(max_depth=meta.max_depth, res_x=res_x, res_y=res_y,

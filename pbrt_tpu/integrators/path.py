@@ -191,7 +191,8 @@ class BsdfCtx(NamedTuple):
 
 
 def bounce_step(scene, state: PathState, regularize=False, skind="independent", spp=0,
-                env_ids=(), volumetric=False, max_depth=None):
+                env_ids=(), volumetric=False, max_depth=None,
+                footprints=False):
     """One bounce for all lanes. Returns the updated PathState.
 
     volumetric=True enables the homogeneous-media / material-less-interface
@@ -318,7 +319,21 @@ def bounce_step(scene, state: PathState, regularize=False, skind="independent", 
     shade = active & ~med_scatter & (hit.mat >= 0)
 
     mat_resolved = materials.resolve_mix(scene, hit.mat, hit.p, hit.wo)
-    bsdf, wl2 = materials.make_bsdf(scene, mat_resolved, hit.ns, wl, hit.uv, hit.p)
+    duv4 = None
+    if footprints and int(scene.tex.type.shape[0]) > 0:
+        # camera-approximated differentials at the hit, threaded into
+        # image-texture lookups (reference interaction.cu:9-39
+        # compute_differentials + TextureEvalContext duv/dxy; static flag
+        # so plain renders compile none of this)
+        from pbrt_tpu.cameras import differentials as dif
+
+        deltas = tuple(scene.cam_ray_deltas[i] for i in range(4))
+        dpdx, dpdy = dif.approximate_dp_dxy(
+            hit.p, hit.ns, state.o, state.d, deltas, max(spp, 1))
+        duv4 = jnp.stack(
+            dif.duv_dxy(dpdx, dpdy, hit.dpdu, hit.dpdv), axis=-1)
+    bsdf, wl2 = materials.make_bsdf(scene, mat_resolved, hit.ns, wl, hit.uv,
+                                    hit.p, duv=duv4)
     if regularize:
         ax, ay = sc.tr_regularize(bsdf.params.ax, bsdf.params.ay)
         bsdf = bsdf._replace(params=bsdf.params._replace(ax=ax, ay=ay))
@@ -454,7 +469,7 @@ def bounce_step(scene, state: PathState, regularize=False, skind="independent", 
 
 def li(scene, rays, wl: sampled.Wavelengths, r, max_depth, regularize=False,
        skind="independent", spp=0, env_ids=(), volumetric=False, camera_medium=None,
-       return_stats=False):
+       return_stats=False, footprints=False):
     """Radiance for a batch of camera rays. Returns (L (R,4), wl), plus a
     {"closest", "shadow"} actually-traced ray-count dict if return_stats."""
     R = rays.o.shape[0]
@@ -486,7 +501,7 @@ def li(scene, rays, wl: sampled.Wavelengths, r, max_depth, regularize=False,
 
     def body(i, s):
         return bounce_step(scene, s, regularize, skind, spp, env_ids,
-                           volumetric, max_depth)
+                           volumetric, max_depth, footprints)
 
     # reference loops while depth < max_depth; depth += 1 per real bounce,
     # 0.3 per material-less interface crossing — volumetric scenes need

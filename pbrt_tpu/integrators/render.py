@@ -165,7 +165,7 @@ def render_sample_batch(
 def _spp_loop(
     scene, film, pixel_ids, s0, *, n_spp, lanes_spp, max_depth, use_lens, res_x,
     sampler_kind="independent", spp=0, filter_kind="box", env_ids=(),
-    volumetric=False,
+    volumetric=False, footprints=False,
 ):
     """Shared body of the fused render: `lax.fori_loop` over sample batches
     with the film carried as loop state. pixel_ids may be the full image or
@@ -200,6 +200,7 @@ def _spp_loop(
             scene, rays, wl, r, max_depth, skind=sampler_kind, spp=spp,
             env_ids=env_ids, volumetric=volumetric,
             camera_medium=scene.camera_medium, return_stats=True,
+            footprints=footprints,
         )
         film = filmlib.add_samples_tiled(
             film, pixel_ids, L, wl_out.lam, wl_out.pdf, weight, lanes_spp
@@ -214,7 +215,7 @@ def _spp_loop(
     jax.jit,
     static_argnames=(
         "n_spp", "lanes_spp", "max_depth", "use_lens", "res_x", "sampler_kind",
-        "spp", "filter_kind", "env_ids", "volumetric",
+        "spp", "filter_kind", "env_ids", "volumetric", "footprints",
     ),
 )
 def render_spp_fused(scene, film, pixel_ids, s0, **kw):
@@ -455,6 +456,88 @@ def render_spp_fused_sharded(scene, film, pixel_ids, s0, devices=None, **kw):
     return fn(scene, film, pixel_ids, s0)
 
 
+def render_spp_fused_scene_sharded(scene, shard, film, pixel_ids, s0,
+                                   devices=None, **kw):
+    """Scene-sharded ("TP") fused render: GEOMETRY is partitioned over the
+    ("tp",) device mesh (parallel.scene_shard.SceneShard — per-device
+    tables ~1/n_parts of the replicated path), rays/pixels REPLICATED.
+    Each device traverses only its local sub-BVH; one all_gather+argmin
+    per closest-hit and one pmax per shadow batch resolve global hits, so
+    the post-collective path state is replicated and the films come out
+    identical on every device (out_specs P()).
+
+    Compute rises ~n_parts-fold on traversal (every ray visits every
+    sub-tree) — the classic memory/compute trade of object-partitioned
+    ray tracing; use when the scene exceeds one device's HBM
+    (SURVEY §2.7 TP row). Forward render only (sharded tables detached).
+    """
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devices = list(devices if devices is not None else jax.devices())
+    n_dev = len(devices)
+    assert shard.rows.shape[0] == n_dev, (shard.rows.shape, n_dev)
+    mesh = Mesh(np.asarray(devices), ("tp",))
+
+    from pbrt_tpu.parallel import scene_shard as ss
+
+    # the zero-byte shape markers are static (not shardable) — close over
+    # them; only the real per-part tables ride the P("tp") spec
+    markers = (shard.n_int, shard.depth, shard.leaf_k)
+
+    def shard_fn(scene, rows, rec, p0, p1, p2, film, ids, s0):
+        sh_local = ss.SceneShard(
+            rows=rows, rec=rec, p0=p0, p1=p1, p2=p2,
+            n_int=markers[0], depth=markers[1], leaf_k=markers[2],
+        )
+        scene2 = scene._replace(shard=sh_local)
+        return _spp_loop(scene2, film, ids, s0, **kw)
+
+    key = ("tp", n_dev, tuple(id(d) for d in devices),
+           tuple(shard.rows.shape), tuple(sorted(kw.items())))
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P("tp"), P("tp"), P("tp"), P("tp"), P("tp"),
+                      P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        _SHARDED_CACHE[key] = fn
+    return fn(scene, shard.rows, shard.rec, shard.p0, shard.p1, shard.p2,
+              film, pixel_ids, s0)
+
+
+def render_scene_sharded(scene, meta, n_parts=None, devices=None):
+    """Full scene-sharded render -> (H, W, 3) RGB (CLI --shard-scene N).
+    Builds the SceneShard partition host-side, then runs the fused loop
+    with geometry distributed over the mesh."""
+    from pbrt_tpu.parallel import scene_shard as ss
+
+    devices = list(devices if devices is not None else jax.devices())
+    n_parts = n_parts or len(devices)
+    assert meta.integrator in ("path", "volpath", "megakernelpath"), \
+        "scene sharding supports the path family"
+    shard = ss.build_scene_shard(scene, n_parts)
+    res_x, res_y = meta.resolution
+    n_pixels = res_x * res_y
+    film = filmlib.new_film(meta.resolution)
+    pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
+    use_lens = float(np.asarray(scene.camera_lens_radius)) > 0.0
+    film, _ = render_spp_fused_scene_sharded(
+        scene, shard, film, pixel_ids, 0, devices=devices[:n_parts],
+        n_spp=meta.spp, lanes_spp=1, max_depth=meta.max_depth,
+        use_lens=use_lens, res_x=res_x, sampler_kind=meta.sampler,
+        spp=meta.spp, filter_kind=meta.filter_kind,
+        env_ids=meta.env_light_ids, volumetric=meta.volumetric,
+    )
+    return filmlib.develop(
+        film, meta.resolution,
+        out_matrix=meta.film_out_matrix,
+        imaging_ratio=meta.film_imaging_ratio,
+    )
+
+
 _SHARDED_CACHE = {}
 
 
@@ -535,6 +618,9 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False,
             sampler_kind=meta.sampler, spp=meta.spp,
             filter_kind=meta.filter_kind, env_ids=meta.env_light_ids,
             volumetric=meta.volumetric,
+            # footprint-aware image-texture lookups (TextureEvalContext
+            # duv/dxy): opt-in via env until measured free on the chip
+            footprints=os.environ.get("PBRT_TPU_FOOTPRINTS", "0") == "1",
         )
         pool = min(1 << 18, n_pixels * meta.spp)
         s0 = spp_done

@@ -47,13 +47,16 @@ def resolve_mix(scene, mat_idx, p, wo):
     return jnp.where(is_mix & (mat_idx >= 0), chosen, mat_idx)
 
 
-def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths, uv=None, p=None):
+def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths, uv=None, p=None,
+              duv=None):
     """Gather material mat_idx (R,) and build lane BxdfParams + shading frame
     around ns. Returns (Bsdf, new_wavelengths) — dielectric dispersion may
     terminate secondary wavelengths (reference dielectric_material.cu:40-47).
 
     uv (R,2): surface parameterization for texture-slot evaluation
-    (reference materials eval textures via TextureEvalContext).
+    (reference materials eval textures via TextureEvalContext); duv (R,4)
+    optional screen-space uv footprints (TextureEvalContext dudx..dvdy,
+    texture_eval_context.h:10-44) for footprint-aware image lookups.
     """
     mat_idx_c = jnp.maximum(mat_idx, 0)
     mtype = take_rows(scene.mat_type, mat_idx_c)
@@ -82,12 +85,12 @@ def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths, uv=None, p=None):
         tt = take_rows(scene.mat_trans_tex, mat_idx_c)
         ut = take_rows(scene.mat_urough_tex, mat_idx_c)
         vt = take_rows(scene.mat_vrough_tex, mat_idx_c)
-        refl_t = jnp.clip(texlib.eval_spectrum(scene.tex, rt, uv, ns, wl.lam, p), 0.0, 1.0)
-        trans_t = jnp.clip(texlib.eval_spectrum(scene.tex, tt, uv, ns, wl.lam, p), 0.0, 1.0)
+        refl_t = jnp.clip(texlib.eval_spectrum(scene.tex, rt, uv, ns, wl.lam, p, duv=duv), 0.0, 1.0)
+        trans_t = jnp.clip(texlib.eval_spectrum(scene.tex, tt, uv, ns, wl.lam, p, duv=duv), 0.0, 1.0)
         refl = jnp.where((rt >= 0)[..., None], refl_t, refl)
         trans = jnp.where((tt >= 0)[..., None], trans_t, trans)
-        urough = jnp.where(ut >= 0, texlib.eval_float(scene.tex, ut, uv, p=p), urough)
-        vrough = jnp.where(vt >= 0, texlib.eval_float(scene.tex, vt, uv, p=p), vrough)
+        urough = jnp.where(ut >= 0, texlib.eval_float(scene.tex, ut, uv, p=p, duv=duv), urough)
+        vrough = jnp.where(vt >= 0, texlib.eval_float(scene.tex, vt, uv, p=p, duv=duv), vrough)
 
     ax = jnp.maximum(jnp.where(remap, sc.roughness_to_alpha(urough), urough), 1e-4)
     ay = jnp.maximum(jnp.where(remap, sc.roughness_to_alpha(vrough), vrough), 1e-4)
@@ -101,10 +104,9 @@ def make_bsdf(scene, mat_idx, ns, wl: sampled.Wavelengths, uv=None, p=None):
     eta_re = jnp.where(refl_mode[..., None], jnp.ones_like(eta_rows), eta_rows)
     eta_im = jnp.where(refl_mode[..., None], k_from_r, k_rows)
 
-    # dielectric eta: float mode or spectral (hero wavelength + dispersion)
-    eta_hero = spectra.sample_table(
-        scene.spec_table, jnp.maximum(eta_spec, 0), wl.lam[..., 0:1]
-    )[..., 0]
+    # dielectric eta: float mode or spectral (hero wavelength + dispersion);
+    # the hero-λ value is eta_rows' first channel — no extra table pass
+    eta_hero = eta_rows[..., 0]
     has_eta_spec = eta_spec >= 0
     eta_d = jnp.where(has_eta_spec, eta_hero, eta_f)
     eta_d = jnp.where(eta_d == 0.0, 1.0, eta_d)

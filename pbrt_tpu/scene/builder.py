@@ -120,6 +120,10 @@ class LightSpec:
     image: Optional[np.ndarray] = None
     light_from_render: Optional[np.ndarray] = None
     render_from_light: Optional[np.ndarray] = None
+    # graphics-state exterior medium at creation (reference base/light.cu
+    # factory passes the state medium to every light ctor); light subpaths
+    # start their walk in this medium
+    medium: int = -1
 
 
 @dataclass
@@ -599,8 +603,7 @@ class SceneBuilder:
                         emission_dense=al.emission_dense,
                         scale=al.scale,
                         two_sided=al.two_sided,
-                        tri_index=len(self.tri_p),
-                    )
+                        tri_index=len(self.tri_p), medium=self.state.outside_medium)
                 )
                 li = len(self.lights) - 1
             self.tri_p.append(Pw[tri])
@@ -796,8 +799,7 @@ class SceneBuilder:
                     emission_dense=al.emission_dense,
                     scale=al.scale,
                     two_sided=al.two_sided,
-                    sphere_index=len(self.spheres),
-                )
+                    sphere_index=len(self.spheres), medium=self.state.outside_medium)
             )
             li = len(self.lights) - 1
         self.spheres.append(
@@ -863,8 +865,7 @@ class SceneBuilder:
                     emission_dense=al.emission_dense,
                     scale=al.scale,
                     two_sided=al.two_sided,
-                    disk_index=len(self.disks),
-                )
+                    disk_index=len(self.disks), medium=self.state.outside_medium)
             )
             li = len(self.lights) - 1
         self.disks.append(
@@ -1056,8 +1057,7 @@ class SceneBuilder:
                 self.state.area_light = AreaLightSpec(
                     emission_dense=dense,
                     scale=scale,
-                    two_sided=pd.get_bool("twosided", False),
-                )
+                    two_sided=pd.get_bool("twosided", False))
                 continue
 
             if kw == "LightSource":
@@ -1179,8 +1179,7 @@ class SceneBuilder:
                     type=LIGHT_DISTANT,
                     emission_dense=dense,
                     scale=scale,
-                    direction=d / np.linalg.norm(d),
-                )
+                    direction=d / np.linalg.norm(d), medium=self.state.outside_medium)
             )
         elif ltype == "infinite":
             fname = pd.get_string("filename", None)
@@ -1188,7 +1187,7 @@ class SceneBuilder:
             scale = pd.get_float("scale", 1.0) / photometric
             if fname is None:
                 self.lights.append(
-                    LightSpec(type=LIGHT_UNIFORM_INFINITE, emission_dense=dense, scale=scale)
+                    LightSpec(type=LIGHT_UNIFORM_INFINITE, emission_dense=dense, scale=scale, medium=self.state.outside_medium)
                 )
             else:
                 from pbrt_tpu.textures.image import load_image
@@ -1201,8 +1200,7 @@ class SceneBuilder:
                         scale=scale,
                         image=img,
                         light_from_render=np.linalg.inv(self.state.ctm),
-                        render_from_light=self.state.ctm.copy(),
-                    )
+                        render_from_light=self.state.ctm.copy(), medium=self.state.outside_medium)
                 )
         elif ltype == "spot":
             dense, photometric = self.illuminant_dense(pd, "I")
@@ -1215,6 +1213,17 @@ class SceneBuilder:
             d = w_to - w_from
             cone = pd.get_float("coneangle", 30.0)
             delta = pd.get_float("conedeltaangle", 5.0)
+            # "power" overrides intensity scale: phi = sc * k_e with
+            # k_e = 2*pi*((1-cosStart) + (cosStart-cosEnd)/2), the exact
+            # cone integral of the smoothstep falloff
+            # (reference spot_light.cu:29-34)
+            phi_v = pd.get_float("power", -1.0)
+            if phi_v > 0:
+                cos_end = float(np.cos(np.deg2rad(cone)))
+                cos_start = float(np.cos(np.deg2rad(cone - delta)))
+                k_e = 2.0 * np.pi * ((1.0 - cos_start)
+                                     + (cos_start - cos_end) / 2.0)
+                scale *= phi_v / k_e
             self.lights.append(
                 LightSpec(
                     type=LIGHT_SPOT,
@@ -1223,8 +1232,7 @@ class SceneBuilder:
                     position=w_from,
                     direction=d / np.linalg.norm(d),
                     cos_falloff_start=float(np.cos(np.deg2rad(cone - delta))),
-                    cos_falloff_end=float(np.cos(np.deg2rad(cone))),
-                )
+                    cos_falloff_end=float(np.cos(np.deg2rad(cone))), medium=self.state.outside_medium)
             )
         else:
             raise ValueError(f"light {ltype!r} not supported")

@@ -53,10 +53,10 @@ class SceneArrays(NamedTuple):
     inst_o2w: jnp.ndarray        # (I, 12) object->render affine
     inst_swap: jnp.ndarray       # (I,) 1.0 where the instance transform
                                  # mirrors (flips handedness)
-    tri_rec: jnp.ndarray         # (T, 24) f32 packed per-tri hit record
+    tri_rec: jnp.ndarray         # (T, 27) f32 packed per-tri hit record
                                  # [n0 n1 n2 uv0 uv1 uv2 mat light rev has_n
-                                 #  med_in med_out] (BVH scenes only; ids as
-                                 #  exact small floats)
+                                 #  med_in med_out dpdu dpdv] (BVH scenes
+                                 #  only; ids as exact small floats)
     # spheres
     sph_center: jnp.ndarray
     sph_radius: jnp.ndarray
@@ -125,6 +125,8 @@ class SceneArrays(NamedTuple):
     lt_emission: jnp.ndarray     # (L, 471) f32 radiance spectrum
     lt_scale: jnp.ndarray        # (L,) f32 differentiable multiplier
     lt_twosided: jnp.ndarray     # (L,) bool
+    lt_medium: jnp.ndarray       # (L,) i32 creation-state medium (light
+                                 # subpaths start in it; base/light.cu ctors)
     lt_tri: jnp.ndarray          # (L,) i32
     lt_sph: jnp.ndarray          # (L,) i32 sphere emitter index (-1)
     lt_dsk: jnp.ndarray          # (L,) i32 disk emitter index (-1)
@@ -161,6 +163,15 @@ class SceneArrays(NamedTuple):
     scene_center: jnp.ndarray    # (3,) bounding-sphere center (sample_le
                                  # disk origin for distant/infinite lights)
     ray_offset_scale: jnp.ndarray  # () epsilon used to offset spawned rays
+    cam_ray_deltas: jnp.ndarray = None  # (4,3) one-pixel camera ray
+                                 # origin/direction deltas (do_dx, dd_dx,
+                                 # do_dy, dd_dy) for footprint-aware
+                                 # texture lookups (camera_base.h:96-97)
+    # scene sharding ("TP" axis): normally None; the sharded render path
+    # injects each device's parallel.scene_shard.SceneShard slice here
+    # (inside its ("tp",) shard_map), which reroutes dispatch.intersect /
+    # occluded onto the sharded traversal + collectives
+    shard: object = None
 
 
 @dataclass
@@ -267,9 +278,28 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
     bvh_iterb = np.zeros((0, 0), f32)
     inst_bounds_pts = []
 
-    def _pack_rec(n_pad, tn_, tuv_, mat_, light_, rev_, hasn_, med_):
+    def _dpduv(tp_, tuv_):
+        """Per-triangle dpdu/dpdv from vertex uv deltas (pbrt partial
+        derivatives; constant per triangle, so precomputed into the hit
+        record for footprint-aware texture lookups). Degenerate uv
+        parameterizations get zeros (point-sampled fallback)."""
+        n = tp_.shape[0]
+        dp1 = tp_[:, 1] - tp_[:, 0]
+        dp2 = tp_[:, 2] - tp_[:, 0]
+        duv1 = tuv_[:, 1] - tuv_[:, 0]
+        duv2 = tuv_[:, 2] - tuv_[:, 0]
+        det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+        ok = np.abs(det) > 1e-12
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)[:, None]
+        dpdu = (duv2[:, 1:2] * dp1 - duv1[:, 1:2] * dp2) * inv
+        dpdv = (-duv2[:, 0:1] * dp1 + duv1[:, 0:1] * dp2) * inv
+        return (dpdu.astype(np.float32), dpdv.astype(np.float32))
+
+    def _pack_rec(n_pad, tp_, tn_, tuv_, mat_, light_, rev_, hasn_, med_):
         # one wide row per triangle for hit-record assembly: a single gather
         # instead of ~14 (gathers cost per ROW on TPU, width nearly free)
+        dpdu_, dpdv_ = _dpduv(tp_.reshape(n_pad, 3, 3),
+                              tuv_.reshape(n_pad, 3, 2))
         return np.concatenate(
             [
                 tn_.reshape(n_pad, 9).astype(np.float32),
@@ -279,6 +309,8 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
                 rev_[:, None].astype(np.float32),
                 hasn_[:, None].astype(np.float32),
                 med_.astype(np.float32),
+                dpdu_,
+                dpdv_,
             ],
             axis=1,
         )
@@ -330,7 +362,7 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         bvh_depth = np.zeros((bvh.max_depth, 0), np.float32)
         bvh_ninst = np.zeros((bvh.n_inst, 0), np.float32)
         bvh_iterb = np.zeros((min(bvh.iter_bound, 2**24), 0), np.float32)
-        tri_rec = _pack_rec(n_pad, tn, tuv, tri_mat, tri_light, tri_rev,
+        tri_rec = _pack_rec(n_pad, tp, tn, tuv, tri_mat, tri_light, tri_rev,
                             has_n, tri_med_arr)
 
         w2o_l, o2w_l, swap_l = [], [], []
@@ -370,25 +402,13 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         bvh_rows = bvh.rows
         bvh_nint = np.zeros((bvh.n_int, 0), np.float32)
         bvh_depth = np.zeros((bvh.max_depth, 0), np.float32)
-        # one wide row per triangle for hit-record assembly: a single gather
-        # instead of ~14 (gathers cost per ROW on TPU, width nearly free)
-        tri_rec = np.concatenate(
-            [
-                tn.reshape(n_pad, 9).astype(np.float32),
-                tuv.reshape(n_pad, 6).astype(np.float32),
-                tri_mat[:, None].astype(np.float32),
-                tri_light[:, None].astype(np.float32),
-                tri_rev[:, None].astype(np.float32),
-                has_n[:, None].astype(np.float32),
-                tri_med_arr.astype(np.float32),
-            ],
-            axis=1,
-        )
+        tri_rec = _pack_rec(n_pad, tp, tn, tuv, tri_mat, tri_light, tri_rev,
+                            has_n, tri_med_arr)
     else:
         bvh_rows = np.zeros((0, bvhlib.ROW_W), np.float32)
         bvh_nint = np.zeros((0, 0), np.float32)
         bvh_depth = np.zeros((0, 0), np.float32)
-        tri_rec = np.zeros((0, 24), np.float32)
+        tri_rec = np.zeros((0, 27), np.float32)
 
     # ---- spheres
     S = len(b.spheres)
@@ -490,6 +510,7 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         lt_emission = np.stack([l.emission_dense for l in b.lights]).astype(f32)
         lt_scale = np.array([l.scale for l in b.lights], f32)
         lt_twosided = np.array([l.two_sided for l in b.lights])
+        lt_medium = np.array([l.medium for l in b.lights], np.int32)
         lt_tri = np.array(
             [tri_newpos[l.tri_index] if l.tri_index >= 0 else -1 for l in b.lights],
             np.int32,
@@ -509,6 +530,7 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         lt_emission = np.zeros((0, cie.LAMBDA_RANGE), f32)
         lt_scale = np.zeros((0,), f32)
         lt_twosided = np.zeros((0,), bool)
+        lt_medium = np.zeros((0,), np.int32)
         lt_tri = np.zeros((0,), np.int32)
         lt_sph = np.zeros((0,), np.int32)
         lt_dsk = np.zeros((0,), np.int32)
@@ -722,6 +744,7 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         lt_emission=jnp.asarray(lt_emission),
         lt_scale=jnp.asarray(lt_scale),
         lt_twosided=jnp.asarray(lt_twosided),
+        lt_medium=jnp.asarray(lt_medium),
         lt_tri=jnp.asarray(lt_tri),
         lt_sph=jnp.asarray(lt_sph),
         lt_dsk=jnp.asarray(lt_dsk),
@@ -751,6 +774,13 @@ def compile_scene(b: bd.SceneBuilder, spp_override=None, integrator_override=Non
         scene_center=jnp.asarray(center, jnp.float32),
         ray_offset_scale=jnp.asarray(min(radius * 1e-5, 1e-3) / max(radius, 1e-6), jnp.float32),
     )
+    # camera differentials for footprint-aware texture lookups
+    # (cameras/differentials.pixel_ray_deltas; evaluated once per scene)
+    from pbrt_tpu.cameras import differentials as _dif
+
+    deltas = _dif.pixel_ray_deltas(arrays, resolution[0])
+    arrays = arrays._replace(
+        cam_ray_deltas=jnp.stack([jnp.asarray(x) for x in deltas]))
     spp = spp_override or b.sampler["pixelsamples"]
     if b.sampler["type"] == "stratified" and int(round(spp ** 0.5)) ** 2 != spp:
         # reference REPORT_FATAL_ERRORs (stratified.h:13-16); we round down to

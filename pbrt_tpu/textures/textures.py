@@ -312,24 +312,48 @@ def _mapped_uv(tex: TexArrays, node, uv, p=None):
     return out
 
 
-def _leaf_rgb_or_value(tex: TexArrays, node, uv, p=None):
+def _leaf_rgb_or_value(tex: TexArrays, node, uv, p=None, duv=None):
     """Evaluate a leaf node to (rgb (R,3), const_coeffs (R,3), cscale (R,),
-    is_image (R,)). Combinators must not reach here (build-time checked)."""
+    is_image (R,)). Combinators must not reach here (build-time checked).
+
+    duv (R,4) = (dudx, dvdx, dudy, dvdy) screen-space uv footprints
+    (cameras/differentials.duv_dxy): image fetches average FOUR bilerp
+    taps over the footprint parallelogram — a real (single-level) box
+    filter where the reference's MIPMap parses but ignores the footprint
+    entirely (textures/mipmap.cu:22-25). uv-mapped nodes only; derived
+    mappings (spherical/planar) stay point-sampled."""
     node_c = jnp.maximum(node, 0)
     t = tex.type[node_c]
     st = _mapped_uv(tex, node_c, uv, p)
     st = st.at[..., 1].set(1.0 - st[..., 1])  # flip v (spectrum_image_texture.cu:18)
-    rgb = tex.img_scale[node_c][..., None] * image_bilerp(tex.imgs, tex.img[node_c], st)
-    rgb = jnp.where(tex.img_invert[node_c][..., None], 1.0 - rgb, rgb)
-    rgb = jnp.clip(rgb, 0.0, None)
+
+    def img_at(st_):
+        rgb_ = (tex.img_scale[node_c][..., None]
+                * image_bilerp(tex.imgs, tex.img[node_c], st_))
+        rgb_ = jnp.where(tex.img_invert[node_c][..., None], 1.0 - rgb_, rgb_)
+        return jnp.clip(rgb_, 0.0, None)
+
+    if duv is None:
+        rgb = img_at(st)
+    else:
+        m = tex.uvmap[node_c]
+        is_uv = (tex.mapkind[node_c] == MAP_UV)[..., None].astype(jnp.float32)
+        gx = jnp.stack([duv[..., 0] * m[..., 0],
+                        duv[..., 1] * m[..., 1]], -1) * is_uv
+        gy = jnp.stack([duv[..., 2] * m[..., 0],
+                        duv[..., 3] * m[..., 1]], -1) * is_uv
+        rgb = 0.25 * (img_at(st + 0.25 * gx + 0.25 * gy)
+                      + img_at(st + 0.25 * gx - 0.25 * gy)
+                      + img_at(st - 0.25 * gx + 0.25 * gy)
+                      + img_at(st - 0.25 * gx - 0.25 * gy))
     return t, rgb, tex.coeffs[node_c], tex.cscale[node_c]
 
 
-def _leaf_spectrum(tex: TexArrays, node, uv, lam, p=None):
+def _leaf_spectrum(tex: TexArrays, node, uv, lam, p=None, duv=None):
     """Leaf -> spectral values (R,4). Missing node (<0) -> 0."""
     from pbrt_tpu.spectral import rgb2spec, spectra
 
-    t, rgb, coeffs, cscale = _leaf_rgb_or_value(tex, node, uv, p)
+    t, rgb, coeffs, cscale = _leaf_rgb_or_value(tex, node, uv, p, duv)
     img_coeffs = rgb2spec.rgb_to_coefficients(jnp.clip(rgb, 0.0, 1.0))
     c = jnp.where((t == TEX_IMAGE)[..., None], img_coeffs, coeffs)
     scale = jnp.where(t == TEX_IMAGE, 1.0, cscale)
@@ -337,26 +361,27 @@ def _leaf_spectrum(tex: TexArrays, node, uv, lam, p=None):
     return jnp.where((node < 0)[..., None], 0.0, val)
 
 
-def _leaf_float(tex: TexArrays, node, uv, default=0.0, p=None):
-    t, rgb, _, cscale = _leaf_rgb_or_value(tex, node, uv, p)
+def _leaf_float(tex: TexArrays, node, uv, default=0.0, p=None, duv=None):
+    t, rgb, _, cscale = _leaf_rgb_or_value(tex, node, uv, p, duv)
     v = jnp.where(t == TEX_IMAGE, rgb[..., 0], cscale)
     return jnp.where(node < 0, default, v)
 
 
-def eval_spectrum(tex: TexArrays, node, uv, ns, lam, p=None):
+def eval_spectrum(tex: TexArrays, node, uv, ns, lam, p=None, duv=None):
     """Evaluate spectrum texture node per lane.
 
     node (R,) i32; uv (R,2); ns (R,3) shading normal (directionmix);
-    lam (R,4); p (R,3) hit position (non-uv mappings). -> (R,4).
+    lam (R,4); p (R,3) hit position (non-uv mappings); duv (R,4) optional
+    screen-space uv footprints. -> (R,4).
     """
     node_c = jnp.maximum(node, 0)
     t = tex.type[node_c]
-    self_val = _leaf_spectrum(tex, node_c, uv, lam, p)
+    self_val = _leaf_spectrum(tex, node_c, uv, lam, p, duv)
 
     c1 = tex.child[node_c, 0]
     c2 = tex.child[node_c, 1]
-    v1 = _leaf_spectrum(tex, c1, uv, lam, p)
-    v2 = _leaf_spectrum(tex, c2, uv, lam, p)
+    v1 = _leaf_spectrum(tex, c1, uv, lam, p, duv)
+    v2 = _leaf_spectrum(tex, c2, uv, lam, p, duv)
 
     # scale: tex1 * amount (float texture or const)
     amt_f = jnp.where(
@@ -387,14 +412,14 @@ def eval_spectrum(tex: TexArrays, node, uv, ns, lam, p=None):
     return jnp.where((node < 0)[..., None], 0.0, out)
 
 
-def eval_float(tex: TexArrays, node, uv, default=0.0, p=None):
+def eval_float(tex: TexArrays, node, uv, default=0.0, p=None, duv=None):
     """Evaluate float texture node per lane (base/float_texture.cu:11-24:
     constant / imagemap / scale)."""
     node_c = jnp.maximum(node, 0)
     t = tex.type[node_c]
-    self_val = _leaf_float(tex, node_c, uv, p=p)
+    self_val = _leaf_float(tex, node_c, uv, p=p, duv=duv)
     c1 = tex.child[node_c, 0]
-    v1 = _leaf_float(tex, c1, uv, p=p)
+    v1 = _leaf_float(tex, c1, uv, p=p, duv=duv)
     amt_f = jnp.where(
         tex.amount_tex[node_c] >= 0,
         _leaf_float(tex, tex.amount_tex[node_c], uv, p=p),

@@ -81,3 +81,145 @@ Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
     got = _render_mean_patch(txt, spp=64)
     expect = rho / np.pi * L * (1.0 / np.sqrt(2.0))
     assert np.allclose(got, expect, rtol=0.05), (got, expect)
+
+
+def _spot_scene(floor_x, d=4.0, I=10.0, rho=0.6, cone=30.0, delta=10.0,
+                power=None):
+    """Spot light at (floor_x-relative) height d pointing straight down at
+    the origin; camera views the floor patch at x = floor_x."""
+    pw = f'"float power" [{power}]' if power is not None else ""
+    return f"""
+Integrator "path" "integer maxdepth" [2]
+Sampler "independent" "integer pixelsamples" [4]
+Film "rgb" "integer xresolution" [32] "integer yresolution" [32]
+LookAt {floor_x} 2 0   {floor_x} 0 0   0 0 1
+Camera "perspective" "float fov" [4]
+WorldBegin
+LightSource "spot" "point3 from" [0 {d} 0] "point3 to" [0 0 0]
+    "rgb I" [{I} {I} {I}] "float coneangle" [{cone}]
+    "float conedeltaangle" [{delta}] {pw}
+Material "diffuse" "rgb reflectance" [{rho} {rho} {rho}]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point3 P" [-12 0 -12  12 0 -12  12 0 12  -12 0 12]
+"""
+
+
+def test_spot_light_falloff_closed_form():
+    """Spot cone falloff is the exact smoothstep between coneangle-delta
+    and coneangle (reference spot_light.cu:8-38 + smoothstep falloff):
+    the RATIO of two rendered patches cancels every spectral/sensor factor,
+    leaving smoothstep(cos_mid; cos_end, cos_start) * (cos_inc * d_on^2 /
+    d_mid^2 geometry). Also checks the on-axis inverse square law."""
+    from pbrt_tpu.utils.math import smoothstep
+    import jax.numpy as jnp
+
+    d, cone, delta = 4.0, 30.0, 10.0
+    on = _render_mean_patch(_spot_scene(0.0, d=d))
+    # patch at angle theta_mid inside the transition band: 27 degrees
+    theta = np.deg2rad(27.0)
+    x_mid = d * np.tan(theta)
+    mid = _render_mean_patch(_spot_scene(x_mid, d=d))
+    cos_start = np.cos(np.deg2rad(cone - delta))
+    cos_end = np.cos(np.deg2rad(cone))
+    fall = float(smoothstep(jnp.float32(np.cos(theta)), cos_end, cos_start))
+    # geometry: receiver farther away (d/cos) and tilted (cos incidence)
+    geo = np.cos(theta) * np.cos(theta) ** 2
+    expect_ratio = fall * geo
+    got_ratio = mid.mean() / on.mean()
+    assert np.allclose(got_ratio, expect_ratio, rtol=0.06), (
+        got_ratio, expect_ratio)
+    # outside the cone: zero
+    x_out = d * np.tan(np.deg2rad(35.0))
+    out = _render_mean_patch(_spot_scene(x_out, d=d))
+    assert out.mean() < 1e-3 * on.mean()
+
+
+def test_spot_light_power_normalization():
+    """The "power" parameter rescales intensity by phi / k_e with
+    k_e = 2 pi ((1 - cosStart) + (cosStart - cosEnd)/2)
+    (reference spot_light.cu:29-34): rendering with power = k_e must equal
+    rendering with the bare intensity, and doubling power doubles output."""
+    cone, delta = 30.0, 10.0
+    cos_start = np.cos(np.deg2rad(cone - delta))
+    cos_end = np.cos(np.deg2rad(cone))
+    k_e = 2.0 * np.pi * ((1.0 - cos_start) + (cos_start - cos_end) / 2.0)
+    base = _render_mean_patch(_spot_scene(0.0))
+    powered = _render_mean_patch(_spot_scene(0.0, power=k_e))
+    np.testing.assert_allclose(powered, base, rtol=1e-3)
+    doubled = _render_mean_patch(_spot_scene(0.0, power=2.0 * k_e))
+    np.testing.assert_allclose(doubled, 2.0 * base, rtol=1e-3)
+
+
+def test_fresnel_complex_closed_forms():
+    """Complex Fresnel (conductors) at normal incidence has the exact
+    closed form R = ((n-1)^2 + k^2) / ((n+1)^2 + k^2), and grazing
+    incidence reflects everything (scattering.h FrComplex)."""
+    from pbrt_tpu.materials import scattering as sc
+    import jax.numpy as jnp
+
+    for n, k in [(0.2, 3.9), (1.5, 0.0), (0.47, 2.9), (3.0, 4.0)]:
+        got = float(sc.fr_complex(jnp.float32(1.0), jnp.float32(n),
+                                  jnp.float32(k)))
+        expect = ((n - 1.0) ** 2 + k ** 2) / ((n + 1.0) ** 2 + k ** 2)
+        assert abs(got - expect) < 1e-5, (n, k, got, expect)
+        grazing = float(sc.fr_complex(jnp.float32(1e-4), jnp.float32(n),
+                                      jnp.float32(k)))
+        assert grazing > 0.99, (n, k, grazing)
+
+
+def test_beer_lambert_nested_media():
+    """Transmittance through two NESTED homogeneous media is the exact
+    product exp(-sigma_outer * l_outer) * exp(-sigma_inner * l_inner)
+    along a central chord (integrator_base.cu:22-71 walks interfaces,
+    multiplying per-leg Beer-Lambert factors)."""
+    import jax.numpy as jnp
+    from pbrt_tpu.scene import builder as bd, lexer as lx
+    from pbrt_tpu.scene.compile import compile_scene
+    from pbrt_tpu.integrators.path import compute_transmittance
+
+    s_out, s_in, r_out, r_in = 0.3, 0.9, 2.0, 1.0
+    txt = f"""
+Integrator "path" "integer maxdepth" [3]
+Sampler "independent" "integer pixelsamples" [4]
+Film "rgb" "integer xresolution" [16] "integer yresolution" [16]
+LookAt 0 0 -8  0 0 0  0 1 0
+Camera "perspective" "float fov" [30]
+WorldBegin
+MakeNamedMedium "outer" "string type" "homogeneous"
+    "rgb sigma_a" [{s_out} {s_out} {s_out}] "rgb sigma_s" [0 0 0]
+MakeNamedMedium "inner" "string type" "homogeneous"
+    "rgb sigma_a" [{s_in} {s_in} {s_in}] "rgb sigma_s" [0 0 0]
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [5 5 5]
+  Translate 0 6 0
+  Shape "disk" "float radius" [0.5]
+AttributeEnd
+AttributeBegin
+  Material "interface"
+  MediumInterface "outer" ""
+  Shape "sphere" "float radius" [{r_out}]
+AttributeEnd
+AttributeBegin
+  Material "interface"
+  MediumInterface "inner" "outer"
+  Shape "sphere" "float radius" [{r_in}]
+AttributeEnd
+"""
+    b = bd.SceneBuilder()
+    b.parse_tokens(lx.tokenize(txt))
+    scene, meta = compile_scene(b)
+    N = 4
+    # chord straight through both sphere centers (render space = camera
+    # space here; centers sit on the camera axis 8 in front)
+    center = np.asarray(scene.sph_center)[0]
+    p0 = jnp.asarray(np.tile(center + [0, 0, -4.0], (N, 1)), jnp.float32)
+    p1 = jnp.asarray(np.tile(center + [0, 0, 4.0], (N, 1)), jnp.float32)
+    dirn = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (N, 1)), jnp.float32)
+    lam = jnp.full((N, 4), 550.0)
+    med = jnp.full((N,), -1, jnp.int32)
+    got = np.asarray(compute_transmittance(
+        scene, p0, dirn, dirn, p1, med, scene.ray_offset_scale, lam))
+    l_in = 2.0 * r_in
+    l_out = 2.0 * r_out - l_in
+    expect = np.exp(-s_out * l_out - s_in * l_in)
+    assert np.allclose(got, expect, rtol=0.05), (got[0], expect)
