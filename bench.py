@@ -51,6 +51,12 @@ def run(scene, meta, res=RES, spp=SPP):
     common = dict(max_depth=meta.max_depth, use_lens=False, res_x=res,
                   sampler_kind=meta.sampler, spp=spp,
                   volumetric=meta.volumetric)
+    # cap one dispatch at ~64 spp: a single >1-minute device program (the
+    # 256-spp staircase config) trips the runtime watchdog as a "TPU
+    # device error"; chunking keeps each dispatch short and the JSON line
+    # still covers the full spp (dispatch overhead is negligible at this
+    # grain)
+    chunk = min(spp, 64)
 
     # same auto-selection as integrators/render.py: open scenes (infinite
     # lights -> heavy early escape) run the wavefront lane-recycling loop
@@ -58,20 +64,36 @@ def run(scene, meta, res=RES, spp=SPP):
         pool = min(1 << 18, res * res * spp)
 
         def all_spp(film, s0):
-            f, n, dropped = render_wavefront_fused(
-                scene, film, jnp.int32(0), res * res, s0,
-                n_spp=spp, pool=pool, **common,
-            )
-            return f, n
+            n_tot = jnp.float32(0.0)
+            for off in range(0, spp, chunk):
+                film, n, dropped = render_wavefront_fused(
+                    scene, film, jnp.int32(0), res * res, s0 + off,
+                    n_spp=min(chunk, spp - off), pool=pool, **common,
+                )
+                n_tot = n_tot + n
+            return film, n_tot
     else:
         def all_spp(film, s0):
-            return render_spp_fused(
-                scene, film, pixel_ids, s0,
-                n_spp=spp, lanes_spp=lanes_spp, **common,
-            )
+            n_tot = jnp.float32(0.0)
+            for off in range(0, spp, chunk):
+                film, n = render_spp_fused(
+                    scene, film, pixel_ids, s0 + off,
+                    n_spp=min(chunk, spp - off), lanes_spp=lanes_spp,
+                    **common,
+                )
+                n_tot = n_tot + n
+            return film, n_tot
 
-    # warmup/compile (separate sample range so the timed run is identical work)
-    f_w, n_w = all_spp(film, spp)
+    # warmup/compile (separate sample range so the timed run is identical
+    # work; ONE chunk is enough to compile + warm the program)
+    if getattr(meta, "open_scene", False):
+        f_w, n_w, _d = render_wavefront_fused(
+            scene, film, jnp.int32(0), res * res, spp, n_spp=min(chunk, spp),
+            pool=min(1 << 18, res * res * spp), **common)
+    else:
+        f_w, n_w = render_spp_fused(
+            scene, film, pixel_ids, spp, n_spp=min(chunk, spp),
+            lanes_spp=lanes_spp, **common)
     jax.block_until_ready(f_w.rgb_sum)
 
     t0 = time.perf_counter()
