@@ -975,8 +975,6 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
     # — see make_cond), so the post-ladder safety loop is always a no-op.
     L_est = int(np.sqrt(max(P * K, 1))) // max(K, 1) + stack_depth
     cap1 = jnp.int32(int(_os.environ.get("PBRT_TPU_BVH_CAP1", "2")))
-    first_next = R // 4 if R // 4 >= 64 else None
-    st = jax.lax.while_loop(make_cond(cap1, first_next), body, st)
 
     def compact(st, R_T):
         """Gather the unfinished lanes (stable, unfinished-first) into an
@@ -1044,11 +1042,19 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
             cur=jnp.where(live2, _DONE, sub.cur),
         )
 
-    # dense-finish tail width: enough lanes that the narrow rungs never
-    # grind (budget ~2e8 triangle tests; at 16k tris that's X=8192 lanes,
-    # ~20 ms on the VPU — cheaper than 100 narrow iterations at the floor)
-    _dense_budget = float(_os.environ.get("PBRT_TPU_BVH_DENSE_BUDGET", "2e8"))
+    # dense-finish tail width (retuned round 5): the old 2e8-test budget
+    # (~23 ms of VPU sweep) was priced against a supposed 1.5 ms/iteration
+    # narrow-rung floor that turned out to be PER-DISPATCH tunnel overhead
+    # (tools/probe_gather2.py) — on-device a 4096-lane iteration costs
+    # ~10 us, so narrow rungs are nearly free and the dense sweep only
+    # pays once the tail is BOTH small and long (mesh16k: p99=156,
+    # max=565 iters). Budget 2e7 keeps dense ~2 ms; when even that is
+    # oversized for the soup (X_dense < 256 lanes, e.g. terrain's 162k-tri
+    # soup whose tail is only ~60 iters anyway) the ladder finishes in a
+    # to-completion narrow rung instead.
+    _dense_budget = float(_os.environ.get("PBRT_TPU_BVH_DENSE_BUDGET", "2e7"))
     X_dense = max(128, min(R, int(_dense_budget // max(P * K, 1))))
+    use_dense = not n_inst and X_dense >= 256
     _capl = int(_os.environ.get("PBRT_TPU_BVH_CAPL", "2"))
     _ladder_env = _os.environ.get("PBRT_TPU_BVH_LADDER", "")
     if _ladder_env:
@@ -1059,7 +1065,19 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
             d_last, c_last = ladder[-1]
             ladder[-1] = (d_last, max(c_last, 3 * L_est))
     else:
-        ladder = [(4, _capl), (16, max(_capl, 3 * L_est) if n_inst else _capl)]
+        if n_inst:
+            ladder = [(4, _capl), (16, max(_capl, 3 * L_est))]
+        else:
+            ladder = [(4, _capl), (16, _capl), (64, _capl)]
+            if not use_dense:
+                # no dense sweep: run the tail to completion at R/256
+                ladder.append((256, 1 << 30))
+    # rung0 (full width) hands off as soon as survivors fit the FIRST
+    # ladder buffer
+    first_next = R // ladder[0][0] if ladder else R // 4
+    if first_next < 64:
+        first_next = None
+    st = jax.lax.while_loop(make_cond(cap1, first_next), body, st)
     o_c, d_c = o, d
     frames = []  # (sel, outer_state) to scatter back through
     sub = st
@@ -1068,7 +1086,7 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
         if R_T < 64 or R_T >= sub.cur.shape[0]:
             continue
         nxt_cap = R // (ladder[li_ + 1][0]) if li_ + 1 < len(ladder) else (
-            X_dense if not n_inst else None
+            X_dense if use_dense else None
         )
         if nxt_cap is not None and nxt_cap >= R_T:
             nxt_cap = None
@@ -1079,19 +1097,20 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
         sub = jax.lax.while_loop(
             make_cond(jnp.int32(cap), nxt_cap), body_c, nxt
         )
-    if not n_inst:
-        # exact dense finish for whatever remains — the extreme tail is
-        # finished in ONE fat sweep instead of hundreds of floor-bound
-        # narrow iterations. (Instanced tables skip this: prototype soup
+    if use_dense:
+        # exact dense finish for whatever remains — a small-and-LONG
+        # extreme tail (mesh16k: max 565 iters) is finished in ONE fat
+        # sweep. (Instanced tables never take this path: prototype soup
         # rows live in object space, so a flat world-ray sweep over them
-        # would be wrong — the tail finishes in the capped rung instead.)
+        # would be wrong — the tail finishes in the capped rung instead.
+        # Huge soups skip it too — see use_dense above.)
         if X_dense < sub.cur.shape[0]:
             sel, nxt = compact(sub, X_dense)
             frames.append((sel, sub))
             o_c, d_c = o_c[sel], d_c[sel]
             sub = nxt
         sub = dense_finish(sub, o_c, d_c)
-    else:
+    elif n_inst:
         body_c = make_ctx(o_c, d_c)
         sub = jax.lax.while_loop(make_cond(max_iters), body_c, sub)
     for sel, outer in reversed(frames):
