@@ -933,11 +933,15 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
     # than wedge the watchdog
     max_iters = jnp.int32(iter_bound if iter_bound else 4 * n_rows + 16)
 
+    # lanes dispatched with t_max <= 0 are masked no-ops (sample_ld hands
+    # the ladder dead shadow lanes that way) — start them _DONE instead of
+    # letting them burn a full-width iteration discovering it
+    cur0 = jnp.where(t_max > 0.0, jnp.int32(0), _DONE)
     if n_inst:
         make_ctx = make_stepper_inst(rows, n_int, n_inst, leaf_k, SD,
                                      any_hit=any_hit)
         st = _StI(
-            cur=jnp.zeros((R,), jnp.int32),  # root (id 0) fresh
+            cur=cur0,  # root (id 0) fresh
             cmask=jnp.full((R,), _FRESH, jnp.int32),
             sp=jnp.zeros((R,), jnp.int32),
             stack_n=jnp.zeros((R, SD), jnp.int32),
@@ -952,7 +956,7 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
     else:
         make_ctx = make_stepper(rows, n_int, leaf_k, SD, any_hit=any_hit)
         st = _St(
-            cur=jnp.zeros((R,), jnp.int32),
+            cur=cur0,
             cmask=jnp.full((R,), _FRESH, jnp.int32),
             sp=jnp.zeros((R,), jnp.int32),
             stack_n=jnp.zeros((R, SD), jnp.int32),
@@ -1164,9 +1168,15 @@ def closest_hit_tris(scene, o, d, t_max):
         o_r, d_r = _refit_ray(scene, o, d, hin)
     else:
         o_r, d_r = o, d
-    # differentiable refit against the winner (tri_p0/p1/p2 carry gradients)
+    # differentiable refit against the winner. ONE gather of a packed
+    # (T, 9) row instead of three (T, 3) gathers: gathers cost per ROW on
+    # TPU (PROFILE §2), and the three separate vertex gathers measured
+    # ~20 ms on-device at 262k lanes on terrain (tools/ wf_probe2). The
+    # concatenate is differentiable, so vertex gradients still flow.
+    v9 = jnp.concatenate(
+        [scene.tri_p0, scene.tri_p1, scene.tri_p2], axis=1)[pc]
     t_ref, bary, hit_ref = ix.intersect_tri_lanes(
-        o_r, d_r, t_max, scene.tri_p0[pc], scene.tri_p1[pc], scene.tri_p2[pc]
+        o_r, d_r, t_max, v9[:, 0:3], v9[:, 3:6], v9[:, 6:9]
     )
     ok = found & hit_ref
     return ix.TriHit(

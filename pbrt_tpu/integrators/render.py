@@ -484,9 +484,9 @@ def render_spp_fused_scene_sharded(scene, shard, film, pixel_ids, s0,
     # them; only the real per-part tables ride the P("tp") spec
     markers = (shard.n_int, shard.depth, shard.leaf_k)
 
-    def shard_fn(scene, rows, rec, p0, p1, p2, film, ids, s0):
+    def shard_fn(scene, rows, recv, film, ids, s0):
         sh_local = ss.SceneShard(
-            rows=rows, rec=rec, p0=p0, p1=p1, p2=p2,
+            rows=rows, recv=recv,
             n_int=markers[0], depth=markers[1], leaf_k=markers[2],
         )
         scene2 = scene._replace(shard=sh_local)
@@ -498,14 +498,12 @@ def render_spp_fused_scene_sharded(scene, shard, film, pixel_ids, s0,
     if fn is None:
         fn = jax.jit(jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(), P("tp"), P("tp"), P("tp"), P("tp"), P("tp"),
-                      P(), P(), P()),
+            in_specs=(P(), P("tp"), P("tp"), P(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         ))
         _SHARDED_CACHE[key] = fn
-    return fn(scene, shard.rows, shard.rec, shard.p0, shard.p1, shard.p2,
-              film, pixel_ids, s0)
+    return fn(scene, shard.rows, shard.recv, film, pixel_ids, s0)
 
 
 def render_scene_sharded(scene, meta, n_parts=None, devices=None):

@@ -173,11 +173,10 @@ class SceneShard(NamedTuple):
     no memory motivation (documented SURVEY §2.7 TP-row choice)."""
 
     rows: jnp.ndarray    # (n_parts, n_int + max_leaves, ROW_W)
-    rec: jnp.ndarray     # (n_parts, max_leaves*K, 21) packed hit record
-                         # (same layout as SceneArrays.tri_rec)
-    p0: jnp.ndarray      # (n_parts, max_leaves*K, 3) refit vertices
-    p1: jnp.ndarray
-    p2: jnp.ndarray
+    recv: jnp.ndarray    # (n_parts, max_leaves*K, RW+9): packed hit-record
+                         # row (SceneArrays.tri_rec layout) ++ p0 p1 p2
+                         # refit vertices — ONE row gather per winning lane
+                         # instead of four (gathers cost per ROW, PROFILE §2)
     n_int: jnp.ndarray   # (n_int, 0) zero-byte static marker
     depth: jnp.ndarray   # (depth, 0)
     leaf_k: jnp.ndarray  # (K, 0)
@@ -201,14 +200,15 @@ def build_scene_shard(scene, n_parts, leaf_k=None):
     src = np.asarray(g.src)                       # (n_parts, L*K) -> live idx
     orig = np.where(src >= 0, ids_live[np.clip(src, 0, ids_live.size - 1)], -1)
     okm = (src >= 0)[..., None]
-    rec_p = np.where(okm, rec[np.clip(orig, 0, rec.shape[0] - 1)], 0.0)
-    p0_p = np.where(okm, p0[np.clip(orig, 0, p0.shape[0] - 1)], 0.0)
-    p1_p = np.where(okm, p1[np.clip(orig, 0, p1.shape[0] - 1)], 0.0)
-    p2_p = np.where(okm, p2[np.clip(orig, 0, p2.shape[0] - 1)], 0.0)
+    safe = np.clip(orig, 0, rec.shape[0] - 1)
+    recv_p = np.where(
+        okm,
+        np.concatenate([rec[safe], p0[safe], p1[safe], p2[safe]], axis=-1),
+        0.0,
+    )
     return SceneShard(
         rows=jnp.asarray(g.rows),
-        rec=jnp.asarray(rec_p.astype(np.float32)),
-        p0=jnp.asarray(p0_p), p1=jnp.asarray(p1_p), p2=jnp.asarray(p2_p),
+        recv=jnp.asarray(recv_p.astype(np.float32)),
         n_int=jnp.zeros((g.n_int, 0), jnp.float32),
         depth=jnp.zeros((g.depth, 0), jnp.float32),
         leaf_k=jnp.zeros((g.leaf_k, 0), jnp.float32),
@@ -218,7 +218,7 @@ def build_scene_shard(scene, n_parts, leaf_k=None):
 def shard_bytes(sh: SceneShard):
     """Per-device geometry bytes (leading axis already per-part)."""
     per = 0
-    for a in (sh.rows, sh.rec, sh.p0, sh.p1, sh.p2):
+    for a in (sh.rows, sh.recv):
         per += int(np.prod(a.shape[1:])) * 4
     return per
 
@@ -238,14 +238,10 @@ def closest_hit_local(sh_local: SceneShard, o, d, t_max, axis="tp"):
         sh_local.rows[0], n_int, depth, K, o, d, t_max)
     found = prim >= 0
     pc = jnp.maximum(prim, 0)
-    rec = jnp.where(found[:, None], sh_local.rec[0][pc], 0.0)
-    P0 = sh_local.p0[0][pc]
-    P1 = sh_local.p1[0][pc]
-    P2 = sh_local.p2[0][pc]
+    rv = jnp.where(found[:, None], sh_local.recv[0][pc], 0.0)  # (R, RW+9)
     t_c = jnp.where(found, t, jnp.inf)
-    RW = rec.shape[-1]
-    cand = jnp.concatenate(
-        [t_c[:, None], rec, P0, P1, P2], axis=1)      # (R, 1+RW+9)
+    RW = rv.shape[-1] - 9
+    cand = jnp.concatenate([t_c[:, None], rv], axis=1)     # (R, 1+RW+9)
     allc = jax.lax.all_gather(cand, axis)             # (n_parts, R, 1+RW+9)
     best = jnp.argmin(allc[:, :, 0], axis=0)          # (R,)
     rr = jnp.arange(o.shape[0])

@@ -27,7 +27,7 @@ from pbrt_tpu.utils.math import INFINITY
 from probe_bvh import setup, bounce_rays
 
 
-def timeit(fn, *args, reps=5):
+def timeit(fn, *args, reps=10):
     out = jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -36,12 +36,12 @@ def timeit(fn, *args, reps=5):
 
 
 CONFIGS = [
-    ("geo4..64 2e7", "4:2,16:2,64:2", "2e7"),
-    ("geo4..64 5e6", "4:2,16:2,64:2", "5e6"),
-    ("geo4..256 5e6", "4:2,16:2,64:2,256:2", "5e6"),
-    ("geo4..256 2e6", "4:2,16:2,64:2,256:2", "2e6"),
-    ("geo4-8-16-64 2e7", "4:2,8:2,16:2,64:2", "2e7"),
-    ("geo6..96 1e7", "6:2,24:2,96:2", "1e7"),
+    ("A 4,16,64 2e7", "4:2,16:2,64:2", "2e7"),
+    ("B 4,16,32,64 2e7", "4:2,16:2,32:2,64:2", "2e7"),
+    ("C 4,8,16,32,64,128 2e7", "4:2,8:2,16:2,32:2,64:2,128:2", "2e7"),
+    ("D 4,16,32,64 5e7", "4:2,16:2,32:2,64:2", "5e7"),
+    ("E 4,16,32,64,128 5e6", "4:2,16:2,32:2,64:2,128:2", "5e6"),
+    ("F 4,16,64,256 1e6", "4:2,16:2,64:2,256:1073741824", "1e6"),
 ]
 
 
