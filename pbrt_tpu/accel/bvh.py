@@ -1085,10 +1085,13 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
     o_c, d_c = o, d
     frames = []  # (sel, outer_state) to scatter back through
     sub = st
+    ran_completion = False
     for li_, (divisor, cap) in enumerate(ladder):
         R_T = R // divisor
         if R_T < 64 or R_T >= sub.cur.shape[0]:
             continue
+        if cap >= (1 << 29):
+            ran_completion = True
         nxt_cap = R // (ladder[li_ + 1][0]) if li_ + 1 < len(ladder) else (
             X_dense if use_dense else None
         )
@@ -1117,6 +1120,20 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
     elif n_inst:
         body_c = make_ctx(o_c, d_c)
         sub = jax.lax.while_loop(make_cond(max_iters), body_c, sub)
+
+    if not n_inst and (use_dense or ran_completion):
+        # the ladder STRUCTURALLY finished every lane (dense sweep or a
+        # to-completion rung ran, and every compact's unfinished-first
+        # permutation fits because the preceding rung's cond held until
+        # live <= R_T) — scatter back only the RESULT fields (2 arrays per
+        # frame instead of the ~10-array full state) and skip the
+        # full-width safety loop entirely.
+        t_fin, p_fin = sub.t_best, sub.prim
+        for sel, outer in reversed(frames):
+            t_fin = outer.t_best.at[sel].set(t_fin)
+            p_fin = outer.prim.at[sel].set(p_fin)
+        return t_fin, p_fin, jnp.full((R,), -1, jnp.int32)
+
     for sel, outer in reversed(frames):
         sub = scatter(outer, sel, sub)
     st = sub

@@ -81,11 +81,18 @@ def develop(film: Film, resolution, splat_scale=0.0, out_matrix=None,
     white-balanced matrix; imaging_ratio scales the sensor response
     (exposure * iso / 100, pixel_sensor.h to_sensor_rgb)."""
     w, h = resolution
-    # divide by weight_sum when nonzero (rgb_film.cu:114-116); weights can be
-    # negative under mitchell, so guard magnitude, keep sign
+    # divide by weight_sum when nonzero (rgb_film.cu:114-116). Mitchell's
+    # filter-importance-sampled weights are SIGNED, so a pixel's weight_sum
+    # can land arbitrarily close to 0 at low spp while its rgb_sum doesn't
+    # — the raw ratio then explodes to ~1e6 fireflies (observed on terrain:
+    # ~0.1% of pixels at 8 spp). Bound the divisor's magnitude (keeping
+    # sign) — a pixel whose |weight_sum| is far below one sample's filter
+    # norm has a meaningless ratio estimate anyway, and the clamp keeps it
+    # on the order of its neighbors instead of +-1e6.
     ws = film.weight_sum[:, None]
-    safe = jnp.where(jnp.abs(ws) > 1e-8, ws, 1.0)
-    rgb = jnp.where(jnp.abs(ws) > 1e-8, film.rgb_sum / safe, film.rgb_sum)
+    mag = jnp.maximum(jnp.abs(ws), 0.25)
+    safe = jnp.where(ws < 0, -mag, mag)
+    rgb = film.rgb_sum / safe
     rgb = (rgb + splat_scale * film.splat) * imaging_ratio
     m = colorspace.srgb().rgb_from_xyz if out_matrix is None else jnp.asarray(out_matrix)
     out = colorspace.apply_matrix(m, rgb)

@@ -228,7 +228,7 @@ def render_spp_fused(scene, film, pixel_ids, s0, **kw):
 def _wavefront_loop(
     scene, film, pix0, n_pix, s0, *, n_spp, pool, max_depth, use_lens, res_x,
     sampler_kind="independent", spp=0, filter_kind="box", env_ids=(),
-    volumetric=False,
+    volumetric=False, footprints=False,
 ):
     """Wavefront render: a persistent pool of `pool` lanes where a lane
     that terminates (escape / RR kill / max depth) immediately splats its
@@ -306,7 +306,7 @@ def _wavefront_loop(
         film, pix, weight, state, in_flight, next_work, it = c
         st = path_integrator.bounce_step(
             scene, state, False, sampler_kind, spp, env_ids, volumetric,
-            max_depth,
+            max_depth, footprints=footprints,
         )
         finished = in_flight & ~st.active
         film = filmlib.add_samples(
@@ -350,6 +350,7 @@ def _wavefront_loop(
     static_argnames=(
         "n_spp", "pool", "n_pix", "max_depth", "use_lens", "res_x",
         "sampler_kind", "spp", "filter_kind", "env_ids", "volumetric",
+        "footprints",
     ),
 )
 def render_wavefront_fused(scene, film, pix0, n_pix, s0, **kw):

@@ -72,9 +72,19 @@ def test_material_testball_config3():
     img = np.asarray(R.render(scene, meta))
     assert np.isfinite(img).all()
     assert img.mean() > 0.01
-    # gold ball: the center region must be warm (R > B on average)
-    c = img[10:22, 10:22]
-    assert c[..., 0].mean() > c[..., 2].mean()
+    # gold ball: strongly WARM glints must exist on the ball (upper-center
+    # box). A mean/median R>B over the box is NOT a property of this scene
+    # at test spp — the env light is blue-ish and the coated ball is dark
+    # off-glint, so blue fireflies tip aggregate stats (observed R-mean
+    # 0.185 < B-mean 0.215 with a correctly-gold ball). A desaturated/gray
+    # regression would pull the upper R/B quantile to ~1.0; measured good
+    # value q85 ~ 1.8.
+    reg = img[4:16, 8:24]
+    lum = reg.sum(-1)
+    m = lum > 0.05
+    assert m.sum() > 50
+    rb = (reg[..., 0][m] + 1e-4) / (reg[..., 2][m] + 1e-4)
+    assert np.quantile(rb, 0.85) > 1.25
 
 
 @pytest.mark.slow
