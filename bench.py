@@ -36,10 +36,16 @@ from pbrt_tpu.scene import testscenes
 
 RES = 256
 SPP = 16
-LANES_SPP = 8  # sample replicates per fori_loop iteration (R = RES^2 * this;
-               # 8 measured best on the chip: 512k lanes amortize the
-               # per-iteration floor, 1M lanes start paying HBM pressure)
+LANES_SPP = 1  # sample replicates per fori_loop iteration (R = RES^2 * this;
+               # retuned round 5: ~64k lanes beat the old 512k now that the
+               # ladder's narrow rungs are known to be ~free — measured
+               # cornell-mesh 4.97 (8) -> 5.23 (4) -> 6.12 (2) -> 6.43 (1),
+               # and pixel-tiling below 64k lanes regresses again
 TARGET_RAYS_PER_SEC = 100e6
+# wavefront pool: 2^17 measured best on the chip (2^18 -> 2.51 Mrays/s on
+# terrain, 2^17 -> 3.02, 2^16 -> 1.78 — smaller pools lose to refill/drain
+# churn, bigger ones to the same economics that retuned LANES_SPP)
+POOL = int(__import__("os").environ.get("PBRT_TPU_BENCH_POOL", str(1 << 17)))
 BDPT_RES = 128  # bdpt traces ~4x the rays per sample of the path config
 BDPT_SPP = 8
 
@@ -61,7 +67,7 @@ def run(scene, meta, res=RES, spp=SPP):
     # same auto-selection as integrators/render.py: open scenes (infinite
     # lights -> heavy early escape) run the wavefront lane-recycling loop
     if getattr(meta, "open_scene", False):
-        pool = min(1 << 18, res * res * spp)
+        pool = min(POOL, res * res * spp)
 
         def all_spp(film, s0):
             n_tot = jnp.float32(0.0)
@@ -89,7 +95,7 @@ def run(scene, meta, res=RES, spp=SPP):
     if getattr(meta, "open_scene", False):
         f_w, n_w, _d = render_wavefront_fused(
             scene, film, jnp.int32(0), res * res, spp, n_spp=min(chunk, spp),
-            pool=min(1 << 18, res * res * spp), **common)
+            pool=min(POOL, res * res * spp), **common)
     else:
         f_w, n_w = render_spp_fused(
             scene, film, pixel_ids, spp, n_spp=min(chunk, spp),

@@ -593,10 +593,13 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False,
         # CHUNK that fits the lane budget (so checkpoint/preview chunking
         # is honored exactly)
         lanes_spp = 1
-        # cap at 8 replicates (~512k lanes at 256^2): measured optimum on
-        # the chip — wider batches amortize per-iteration launch overhead,
-        # 1M+ lanes regress (HBM pressure)
-        for k in range(min(chunk, 8, max(1, tile_rays // n_pixels)), 0, -1):
+        # target ~2^17 lanes per fori iteration (retuned round 5: with the
+        # ladder's narrow rungs measured ~free on-device, 64-128k lanes
+        # beat the old 512k target — cornell-mesh 4.97 -> 6.43 Mrays/s
+        # going 8 -> 1 replicates at 256^2; below ~64k lanes pixel-tiling
+        # regresses again, so the floor stays one full pixel grid)
+        cap = max(1, (1 << 17) // max(n_pixels, 1))
+        for k in range(min(chunk, cap, max(1, tile_rays // n_pixels)), 0, -1):
             if chunk % k == 0:
                 lanes_spp = k
                 break
@@ -621,7 +624,8 @@ def render(scene, meta, tile_rays=1 << 20, verbose=False,
             # duv/dxy): opt-in via env until measured free on the chip
             footprints=os.environ.get("PBRT_TPU_FOOTPRINTS", "0") == "1",
         )
-        pool = min(1 << 18, n_pixels * meta.spp)
+        # 2^17 pool measured best on the chip (see bench.py POOL note)
+        pool = min(1 << 17, n_pixels * meta.spp)
         s0 = spp_done
         while s0 < meta.spp:
             n = min(chunk, meta.spp - s0)
