@@ -1086,6 +1086,7 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
     frames = []  # (sel, outer_state) to scatter back through
     sub = st
     ran_completion = False
+    chain_ok = True  # every executed rung drains before its handoff
     for li_, (divisor, cap) in enumerate(ladder):
         R_T = R // divisor
         if R_T < 64 or R_T >= sub.cur.shape[0]:
@@ -1096,7 +1097,17 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
             X_dense if use_dense else None
         )
         if nxt_cap is not None and nxt_cap >= R_T:
+            # a follow-up buffer at least as wide as this rung can't
+            # overflow; for the dense case the compact below is guarded by
+            # the same comparison and simply doesn't happen
             nxt_cap = None
+            if li_ + 1 < len(ladder) and cap < (1 << 29):
+                # ...but a REAL next rung narrower in divisor yet wider in
+                # rows means a non-ascending PBRT_TPU_BVH_LADDER override:
+                # this capped rung may hand off more live lanes than a
+                # LATER buffer holds, so the slim exit below must not skip
+                # the safety loop
+                chain_ok = False
         sel, nxt = compact(sub, R_T)
         frames.append((sel, sub))
         o_c, d_c = o_c[sel], d_c[sel]
@@ -1121,7 +1132,7 @@ def _traverse(rows, n_int, stack_depth, leaf_k, o, d, t_max, any_hit=False,
         body_c = make_ctx(o_c, d_c)
         sub = jax.lax.while_loop(make_cond(max_iters), body_c, sub)
 
-    if not n_inst and (use_dense or ran_completion):
+    if not n_inst and chain_ok and (use_dense or ran_completion):
         # the ladder STRUCTURALLY finished every lane (dense sweep or a
         # to-completion rung ran, and every compact's unfinished-first
         # permutation fits because the preceding rung's cond held until
